@@ -1,0 +1,184 @@
+"""Checkpoint conversion: PyTorch safetensors -> JAX pytrees.
+
+One-time, host-side (numpy only — no torch import needed when reading
+safetensors). Handles:
+  * torch Linear (out, in) -> ours (in, out) transpose,
+  * per-layer module lists -> stacked leading-axis arrays (for lax.scan),
+  * optional stripping of blockwise modules (reference: inference.py:46-56),
+  * weight-norm folding for the S1-DAC convs (reference: autoencoder.py:90-94)
+    — parametrized weight_g/weight_v pairs folded into plain weights.
+
+The source schema is the reference's `pytorch_model.safetensors` naming
+(reference: model.py / autoencoder.py module trees).
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+from echo_tts_tpu.core.config import AEConfig, DiTConfig
+
+Array = np.ndarray
+State = Dict[str, Array]
+
+
+def _lin(state: State, name: str) -> Array:
+    """torch Linear weight (out, in) -> (in, out)."""
+    return np.ascontiguousarray(state[f"{name}.weight"].T)
+
+
+def _stack(fn, n):
+    return np.stack([fn(i) for i in range(n)])
+
+
+def _encoder_blocks(state: State, prefix: str, n_layers: int, n_heads: int) -> dict:
+    def ln(i, sub):
+        return _lin(state, f"{prefix}.blocks.{i}.{sub}")
+
+    def w(i, sub):
+        return state[f"{prefix}.blocks.{i}.{sub}.weight"]
+
+    return {
+        "attention": {
+            "wq": _stack(lambda i: ln(i, "attention.wq"), n_layers),
+            "wk": _stack(lambda i: ln(i, "attention.wk"), n_layers),
+            "wv": _stack(lambda i: ln(i, "attention.wv"), n_layers),
+            "wo": _stack(lambda i: ln(i, "attention.wo"), n_layers),
+            "gate": _stack(lambda i: ln(i, "attention.gate"), n_layers),
+            "q_norm": _stack(lambda i: w(i, "attention.q_norm"), n_layers),
+            "k_norm": _stack(lambda i: w(i, "attention.k_norm"), n_layers),
+        },
+        "mlp": {
+            "w1": _stack(lambda i: ln(i, "mlp.w1"), n_layers),
+            "w3": _stack(lambda i: ln(i, "mlp.w3"), n_layers),
+            "w2": _stack(lambda i: ln(i, "mlp.w2"), n_layers),
+        },
+        "attention_norm": _stack(lambda i: w(i, "attention_norm"), n_layers),
+        "mlp_norm": _stack(lambda i: w(i, "mlp_norm"), n_layers),
+    }
+
+
+def convert_dit_state(state: State, cfg: DiTConfig,
+                      delete_blockwise_modules: bool = False) -> dict:
+    """Reference torch EchoDiT state_dict -> stacked JAX pytree (numpy)."""
+    l = cfg.num_layers
+    has_latent = cfg.has_latent_modules and not delete_blockwise_modules
+
+    def patch_encoder(prefix):
+        return {
+            "in_proj": {"w": _lin(state, f"{prefix}.in_proj"),
+                        "b": state[f"{prefix}.in_proj.bias"]},
+            "blocks": _encoder_blocks(state, prefix, cfg.speaker_num_layers,
+                                      cfg.speaker_num_heads),
+        }
+
+    attn = {
+        "wq": _stack(lambda i: _lin(state, f"blocks.{i}.attention.wq"), l),
+        "wk": _stack(lambda i: _lin(state, f"blocks.{i}.attention.wk"), l),
+        "wv": _stack(lambda i: _lin(state, f"blocks.{i}.attention.wv"), l),
+        "wo": _stack(lambda i: _lin(state, f"blocks.{i}.attention.wo"), l),
+        "gate": _stack(lambda i: _lin(state, f"blocks.{i}.attention.gate"), l),
+        "wk_text": _stack(lambda i: _lin(state, f"blocks.{i}.attention.wk_text"), l),
+        "wv_text": _stack(lambda i: _lin(state, f"blocks.{i}.attention.wv_text"), l),
+        "wk_speaker": _stack(lambda i: _lin(state, f"blocks.{i}.attention.wk_speaker"), l),
+        "wv_speaker": _stack(lambda i: _lin(state, f"blocks.{i}.attention.wv_speaker"), l),
+        "q_norm": _stack(lambda i: state[f"blocks.{i}.attention.q_norm.weight"], l),
+        "k_norm": _stack(lambda i: state[f"blocks.{i}.attention.k_norm.weight"], l),
+    }
+    if has_latent:
+        attn["wk_latent"] = _stack(lambda i: _lin(state, f"blocks.{i}.attention.wk_latent"), l)
+        attn["wv_latent"] = _stack(lambda i: _lin(state, f"blocks.{i}.attention.wv_latent"), l)
+
+    def adaln(which):
+        def up(i, nm):
+            return (_lin(state, f"blocks.{i}.{which}.{nm}"),
+                    state[f"blocks.{i}.{which}.{nm}.bias"])
+
+        out = {}
+        for nm in ("shift", "scale", "gate"):
+            out[f"{nm}_down"] = _stack(lambda i: _lin(state, f"blocks.{i}.{which}.{nm}_down"), l)
+            ws, bs = zip(*[up(i, f"{nm}_up") for i in range(l)])
+            out[f"{nm}_up"] = {"w": np.stack(ws), "b": np.stack(bs)}
+        return out
+
+    params = {
+        "text_encoder": {
+            "embedding": state["text_encoder.text_embedding.weight"],
+            "blocks": _encoder_blocks(state, "text_encoder", cfg.text_num_layers,
+                                      cfg.text_num_heads),
+        },
+        "speaker_encoder": patch_encoder("speaker_encoder"),
+        "text_norm": state["text_norm.weight"],
+        "speaker_norm": state["speaker_norm.weight"],
+        "cond_module": {
+            "w0": _lin(state, "cond_module.0"),
+            "w1": _lin(state, "cond_module.2"),
+            "w2": _lin(state, "cond_module.4"),
+        },
+        "in_proj": {"w": _lin(state, "in_proj"), "b": state["in_proj.bias"]},
+        "blocks": {
+            "attention": attn,
+            "mlp": {
+                "w1": _stack(lambda i: _lin(state, f"blocks.{i}.mlp.w1"), l),
+                "w3": _stack(lambda i: _lin(state, f"blocks.{i}.mlp.w3"), l),
+                "w2": _stack(lambda i: _lin(state, f"blocks.{i}.mlp.w2"), l),
+            },
+            "attention_adaln": adaln("attention_adaln"),
+            "mlp_adaln": adaln("mlp_adaln"),
+        },
+        "out_norm": state["out_norm.weight"],
+        "out_proj": {"w": _lin(state, "out_proj"), "b": state["out_proj.bias"]},
+    }
+    if has_latent:
+        params["latent_encoder"] = patch_encoder("latent_encoder")
+        params["latent_norm"] = state["latent_norm.weight"]
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Weight-norm folding (for the S1-DAC conv stack)
+# ---------------------------------------------------------------------------
+
+
+def fold_weight_norm(state: State) -> State:
+    """Fold torch weight-norm parametrizations into plain weights.
+
+    torch stores `<mod>.parametrizations.weight.original0` (g) and
+    `...original1` (v); the effective weight is g * v / ||v|| with the norm
+    over all dims except dim 0 (reference: autoencoder.py:90-94, dim=0).
+    Returns a new state with `<mod>.weight` entries and parametrization keys
+    removed. Entries already in plain form pass through.
+    """
+    out: State = {}
+    for k, val in state.items():
+        if ".parametrizations.weight.original0" in k:
+            base = k.replace(".parametrizations.weight.original0", "")
+            g = val.astype(np.float64)
+            v = state[base + ".parametrizations.weight.original1"].astype(np.float64)
+            axes = tuple(range(1, v.ndim))
+            norm = np.sqrt(np.sum(v * v, axis=axes, keepdims=True))
+            out[base + ".weight"] = (g * v / norm).astype(val.dtype)
+        elif ".parametrizations.weight.original1" in k:
+            continue
+        else:
+            out[k] = val
+    return out
+
+
+def torch_state_to_numpy(module_or_state) -> State:
+    """Accept a torch nn.Module or a state_dict; return {name: np.ndarray}.
+    (Test/fixture helper — production path reads safetensors directly.)"""
+    if hasattr(module_or_state, "state_dict"):
+        sd = module_or_state.state_dict()
+    else:
+        sd = module_or_state
+    return {k: np.asarray(v.detach().cpu().float().numpy()) if hasattr(v, "detach")
+            else np.asarray(v) for k, v in sd.items()}
+
+
+def load_safetensors(path: str) -> State:
+    """Read a safetensors file into numpy (bf16 upcast to fp32)."""
+    from safetensors.numpy import load_file
+
+    return load_file(path)

@@ -1,0 +1,399 @@
+"""EchoDiT — TPU-native functional re-architecture of the reference DiT
+(reference: model.py:472-642).
+
+Design departures from the PyTorch reference, deliberate and TPU-first:
+
+* Pure functions over explicit parameter pytrees — no modules, no in-place
+  state. KV caches are stacked arrays of shape (L, B, T, H, Dh) instead of
+  Python lists of per-layer tuples (reference: model.py:606-636), so they are
+  single device buffers that can be donated/sharded.
+* Layer parameters are stacked on a leading axis and the trunk runs as one
+  `lax.scan` — O(1) HLO size in depth, fast compiles, and XLA pipelines the
+  per-layer DMAs.
+* RoPE tables are (cos, sin) fp32 pairs (no complex dtypes on TPU).
+* The speaker-KV "force speaker" scale is an input (per-layer vector), applied
+  at use-site — replacing the reference's in-place cache mutation
+  (reference: inference.py:420-428) with a functional, branchless equivalent.
+
+fp32 islands replicate the reference cast sites exactly: RMSNorm/AdaLN
+internals, timestep embedding, and the fp32 final output (model.py:604).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from echo_tts_tpu.core.config import DiTConfig
+from echo_tts_tpu.core.layers import low_rank_adaln, rms_norm, swiglu_mlp, timestep_embedding
+from echo_tts_tpu.core.rope import apply_rope, apply_rope_half_heads, precompute_rope
+from echo_tts_tpu.ops.attention import sdpa
+
+# ---------------------------------------------------------------------------
+# Encoder (shared by text / speaker / latent encoders)
+# ---------------------------------------------------------------------------
+
+
+def encoder_forward(
+    blocks: dict,
+    x: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    *,
+    num_heads: int,
+    is_causal: bool,
+    eps: float,
+) -> jnp.ndarray:
+    """Stack of EncoderTransformerBlocks under one lax.scan
+    (reference: model.py:311-339). blocks: params stacked over layers."""
+    b, s, d = x.shape
+    hd = d // num_heads
+
+    def body(x, p):
+        a = p["attention"]
+        h = rms_norm(x, p["attention_norm"], eps)
+        q = (h @ a["wq"]).reshape(b, s, num_heads, hd)
+        k = (h @ a["wk"]).reshape(b, s, num_heads, hd)
+        v = (h @ a["wv"]).reshape(b, s, num_heads, hd)
+        gate = h @ a["gate"]
+        q = rms_norm(q, a["q_norm"], eps)
+        k = rms_norm(k, a["k_norm"], eps)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        o = sdpa(q, k, v, mask=mask, is_causal=is_causal).reshape(b, s, d)
+        o = o * jax.nn.sigmoid(gate)
+        x = x + o @ a["wo"]
+        h = rms_norm(x, p["mlp_norm"], eps)
+        x = x + swiglu_mlp(h, p["mlp"])
+        return x, None
+
+    x, _ = jax.lax.scan(body, x, blocks)
+    return x
+
+
+def text_encoder_forward(params: dict, cfg: DiTConfig, input_ids, mask):
+    """Byte-embed + bidirectional blocks (reference: model.py:392-427)."""
+    enc = params["text_encoder"]
+    x = enc["embedding"][input_ids]
+    cos, sin = precompute_rope(cfg.text_head_dim, input_ids.shape[1])
+    return encoder_forward(
+        enc["blocks"], x, mask, cos, sin,
+        num_heads=cfg.text_num_heads, is_causal=False, eps=cfg.norm_eps,
+    )
+
+
+def _patch_encoder_forward(enc: dict, cfg: DiTConfig, latent):
+    """SpeakerEncoder / latent_encoder: patchify-4, in_proj, x/6 activation
+    scale, causal blocks (reference: model.py:429-469, incl. the x/6 quirk at
+    model.py:462)."""
+    p = cfg.speaker_patch_size
+    b, s, d_lat = latent.shape
+    x = latent.reshape(b, s // p, d_lat * p)
+    x = x @ enc["in_proj"]["w"] + enc["in_proj"]["b"]
+    x = x / 6.0
+    cos, sin = precompute_rope(cfg.speaker_head_dim, x.shape[1])
+    return encoder_forward(
+        enc["blocks"], x, None, cos, sin,
+        num_heads=cfg.speaker_num_heads, is_causal=True, eps=cfg.norm_eps,
+    )
+
+
+# ---------------------------------------------------------------------------
+# KV-cache builders
+# ---------------------------------------------------------------------------
+
+
+def _project_kv(blocks_attn: dict, state, wk_name: str, wv_name: str,
+                num_heads: int, eps: float):
+    """Per-layer KV projections of an encoder state, stacked to
+    (L, B, S, H, Dh). k_norm is applied to keys, matching reference
+    model.py:270-282 (no RoPE on text/speaker keys)."""
+    b, s, _ = state.shape
+
+    def proj(_, a):
+        hd = a[wk_name].shape[-1] // num_heads
+        k = (state @ a[wk_name]).reshape(b, s, num_heads, hd)
+        v = (state @ a[wv_name]).reshape(b, s, num_heads, hd)
+        k = rms_norm(k, a["k_norm"], eps)
+        return None, (k, v)
+
+    sub = {wk_name: blocks_attn[wk_name], wv_name: blocks_attn[wv_name],
+           "k_norm": blocks_attn["k_norm"]}
+    _, (ks, vs) = jax.lax.scan(proj, None, sub)
+    return ks, vs
+
+
+def get_kv_cache_text(params: dict, cfg: DiTConfig, input_ids, mask):
+    """reference: model.py:606-613."""
+    state = text_encoder_forward(params, cfg, input_ids, mask)
+    state = rms_norm(state, params["text_norm"], cfg.norm_eps)
+    return _project_kv(params["blocks"]["attention"], state, "wk_text", "wv_text",
+                       cfg.num_heads, cfg.norm_eps)
+
+
+def get_kv_cache_speaker(params: dict, cfg: DiTConfig, speaker_latent):
+    """reference: model.py:615-621."""
+    state = _patch_encoder_forward(params["speaker_encoder"], cfg, speaker_latent)
+    state = rms_norm(state, params["speaker_norm"], cfg.norm_eps)
+    return _project_kv(params["blocks"]["attention"], state, "wk_speaker", "wv_speaker",
+                       cfg.num_heads, cfg.norm_eps)
+
+
+def get_kv_cache_latent(params: dict, cfg: DiTConfig, prefix_latent):
+    """Blockwise latent-prefix cache; keys get half-head RoPE at positions
+    i*patch_size (reference: model.py:623-636)."""
+    state = _patch_encoder_forward(params["latent_encoder"], cfg, prefix_latent)
+    state = rms_norm(state, params["latent_norm"], cfg.norm_eps)
+    b, s, _ = state.shape
+    # rope at positions arange(s) * patch_size
+    cos_full, sin_full = precompute_rope(cfg.head_dim, s * cfg.speaker_patch_size)
+    idx = jnp.arange(s) * cfg.speaker_patch_size
+    cos, sin = cos_full[idx], sin_full[idx]
+    attn = params["blocks"]["attention"]
+
+    def proj(_, a):
+        k = (state @ a["wk_latent"]).reshape(b, s, cfg.num_heads, cfg.head_dim)
+        v = (state @ a["wv_latent"]).reshape(b, s, cfg.num_heads, cfg.head_dim)
+        k = rms_norm(k, a["k_norm"], cfg.norm_eps)
+        k = apply_rope_half_heads(k, cos, sin)
+        return None, (k, v)
+
+    sub = {"wk_latent": attn["wk_latent"], "wv_latent": attn["wv_latent"],
+           "k_norm": attn["k_norm"]}
+    _, (ks, vs) = jax.lax.scan(proj, None, sub)
+    return ks, vs
+
+
+# ---------------------------------------------------------------------------
+# DiT trunk forward
+# ---------------------------------------------------------------------------
+
+
+def dit_forward(
+    params: dict,
+    cfg: DiTConfig,
+    x: jnp.ndarray,                     # (B, S, latent_size), model dtype
+    t: jnp.ndarray,                     # (B,), model dtype
+    text_mask: jnp.ndarray,             # (B, T_text) bool
+    speaker_mask: jnp.ndarray,          # (B, S_spk_latents) bool (pre-stride)
+    kv_text: Tuple[jnp.ndarray, jnp.ndarray],     # each (L, B, T_text, H, Dh)
+    kv_speaker: Tuple[jnp.ndarray, jnp.ndarray],  # each (L, B, T_spk, H, Dh)
+    rope_q: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,  # (cos, sin) (S, Dh/2)
+    kv_latent: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    latent_mask: Optional[jnp.ndarray] = None,    # (B, T_lat) bool
+    speaker_kv_scale: Optional[jnp.ndarray] = None,  # (L,) per-layer use-site scale
+) -> jnp.ndarray:
+    """reference: model.py:563-604. Returns fp32 velocity (B, S, latent_size).
+
+    rope_q defaults to positions [0, S); blockwise callers pass tables sliced
+    at start_pos (reference: model.py:229 start_pos query offset).
+    latent_mask encodes the reference's `latent_pos < start_pos` gating
+    (model.py:243-244) — computed by the caller, branchlessly.
+    """
+    b, s, _ = x.shape
+    h_, dh = cfg.num_heads, cfg.head_dim
+    eps = cfg.norm_eps
+
+    if rope_q is None:
+        cos_q, sin_q = precompute_rope(dh, s)
+    else:
+        cos_q, sin_q = rope_q
+
+    # stride-4 downsample of the speaker mask (reference: model.py:581)
+    spk_mask = speaker_mask[..., :: cfg.speaker_patch_size]
+
+    cond = timestep_embedding(t, cfg.timestep_embed_size)
+    cm = params["cond_module"]
+    cond = jax.nn.silu(cond @ cm["w0"])
+    cond = jax.nn.silu(cond @ cm["w1"])
+    cond = cond @ cm["w2"]
+    cond = cond[:, None]  # (B, 1, 3D)
+
+    x = x @ params["in_proj"]["w"] + params["in_proj"]["b"]
+
+    kt_k, kt_v = kv_text
+    ks_k, ks_v = kv_speaker
+    has_latent = kv_latent is not None and kv_latent[0].shape[2] > 0
+    if has_latent:
+        kl_k, kl_v = kv_latent
+        if latent_mask is None:
+            latent_mask = jnp.ones((b, kl_k.shape[2]), dtype=jnp.bool_)
+
+    if speaker_kv_scale is None:
+        speaker_kv_scale = jnp.ones((cfg.num_layers,), dtype=jnp.float32)
+
+    self_mask = jnp.ones((b, s), dtype=jnp.bool_)
+    if has_latent:
+        key_mask = jnp.concatenate([self_mask, latent_mask, text_mask, spk_mask], axis=1)
+    else:
+        key_mask = jnp.concatenate([self_mask, text_mask, spk_mask], axis=1)
+
+    blocks = params["blocks"]
+
+    def body(x, per):
+        p = per["p"]
+        a = p["attention"]
+        skv = per["s_scale"].astype(ks_k.dtype)
+
+        h, attn_gate = low_rank_adaln(x, cond, p["attention_adaln"], eps)
+        q = (h @ a["wq"]).reshape(b, s, h_, dh)
+        k_self = (h @ a["wk"]).reshape(b, s, h_, dh)
+        v_self = (h @ a["wv"]).reshape(b, s, h_, dh)
+        gate = h @ a["gate"]
+        q = rms_norm(q, a["q_norm"], eps)
+        k_self = rms_norm(k_self, a["k_norm"], eps)
+        q = apply_rope_half_heads(q, cos_q, sin_q)
+        k_self = apply_rope_half_heads(k_self, cos_q, sin_q)
+
+        parts_k = [k_self]
+        parts_v = [v_self]
+        if has_latent:
+            parts_k.append(per["kl_k"])
+            parts_v.append(per["kl_v"])
+        parts_k += [per["kt_k"], per["ks_k"] * skv]
+        parts_v += [per["kt_v"], per["ks_v"] * skv]
+        k = jnp.concatenate(parts_k, axis=1)
+        v = jnp.concatenate(parts_v, axis=1)
+
+        o = sdpa(q, k, v, mask=key_mask).reshape(b, s, cfg.model_size)
+        o = o * jax.nn.sigmoid(gate)
+        x = x + attn_gate * (o @ a["wo"])
+
+        h, mlp_gate = low_rank_adaln(x, cond, p["mlp_adaln"], eps)
+        x = x + mlp_gate * swiglu_mlp(h, p["mlp"])
+        return x, None
+
+    per = {"p": blocks, "kt_k": kt_k, "kt_v": kt_v, "ks_k": ks_k, "ks_v": ks_v,
+           "s_scale": speaker_kv_scale}
+    if has_latent:
+        per["kl_k"], per["kl_v"] = kl_k, kl_v
+
+    x, _ = jax.lax.scan(body, x, per)
+
+    x = rms_norm(x, params["out_norm"], eps)
+    x = x @ params["out_proj"]["w"] + params["out_proj"]["b"]
+    return x.astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Initialization (for from-scratch training / benches; checkpoints come from
+# the converter in echo_tts_tpu/checkpoints/convert.py)
+# ---------------------------------------------------------------------------
+
+
+def _linear_init(key, fan_in, shape, dtype):
+    bound = 1.0 / jnp.sqrt(jnp.float32(fan_in))
+    return jax.random.uniform(key, shape, jnp.float32, -bound, bound).astype(dtype)
+
+
+def _init_encoder_blocks(key, n_layers, d, n_heads, ffn, dtype):
+    ks = jax.random.split(key, 8)
+    hd = d // n_heads
+    return {
+        "attention": {
+            "wq": _linear_init(ks[0], d, (n_layers, d, d), dtype),
+            "wk": _linear_init(ks[1], d, (n_layers, d, d), dtype),
+            "wv": _linear_init(ks[2], d, (n_layers, d, d), dtype),
+            "wo": _linear_init(ks[3], d, (n_layers, d, d), dtype),
+            "gate": _linear_init(ks[4], d, (n_layers, d, d), dtype),
+            "q_norm": jnp.ones((n_layers, n_heads, hd), dtype),
+            "k_norm": jnp.ones((n_layers, n_heads, hd), dtype),
+        },
+        "mlp": {
+            "w1": _linear_init(ks[5], d, (n_layers, d, ffn), dtype),
+            "w3": _linear_init(ks[6], d, (n_layers, d, ffn), dtype),
+            "w2": _linear_init(ks[7], ffn, (n_layers, ffn, d), dtype),
+        },
+        "attention_norm": jnp.ones((n_layers, d), dtype),
+        "mlp_norm": jnp.ones((n_layers, d), dtype),
+    }
+
+
+def init_dit_params(key, cfg: DiTConfig, dtype=jnp.bfloat16) -> dict:
+    keys = jax.random.split(key, 24)
+    d, l, h = cfg.model_size, cfg.num_layers, cfg.num_heads
+    hd = cfg.head_dim
+    dt, ds = cfg.text_model_size, cfg.speaker_model_size
+    r = cfg.adaln_rank
+
+    def adaln(key):
+        ks = jax.random.split(key, 6)
+        return {
+            "shift_down": _linear_init(ks[0], d, (l, d, r), dtype),
+            "scale_down": _linear_init(ks[1], d, (l, d, r), dtype),
+            "gate_down": _linear_init(ks[2], d, (l, d, r), dtype),
+            "shift_up": {"w": _linear_init(ks[3], r, (l, r, d), dtype),
+                         "b": jnp.zeros((l, d), dtype)},
+            "scale_up": {"w": _linear_init(ks[4], r, (l, r, d), dtype),
+                         "b": jnp.zeros((l, d), dtype)},
+            "gate_up": {"w": _linear_init(ks[5], r, (l, r, d), dtype),
+                        "b": jnp.zeros((l, d), dtype)},
+        }
+
+    def patch_encoder(key):
+        k1, k2 = jax.random.split(key)
+        in_dim = cfg.latent_size * cfg.speaker_patch_size
+        return {
+            "in_proj": {"w": _linear_init(k1, in_dim, (in_dim, ds), dtype),
+                        "b": jnp.zeros((ds,), dtype)},
+            "blocks": _init_encoder_blocks(
+                k2, cfg.speaker_num_layers, ds, cfg.speaker_num_heads,
+                cfg.speaker_intermediate_size, dtype),
+        }
+
+    attn = {
+        "wq": _linear_init(keys[0], d, (l, d, d), dtype),
+        "wk": _linear_init(keys[1], d, (l, d, d), dtype),
+        "wv": _linear_init(keys[2], d, (l, d, d), dtype),
+        "wo": _linear_init(keys[3], d, (l, d, d), dtype),
+        "gate": _linear_init(keys[4], d, (l, d, d), dtype),
+        "wk_text": _linear_init(keys[5], dt, (l, dt, d), dtype),
+        "wv_text": _linear_init(keys[6], dt, (l, dt, d), dtype),
+        "wk_speaker": _linear_init(keys[7], ds, (l, ds, d), dtype),
+        "wv_speaker": _linear_init(keys[8], ds, (l, ds, d), dtype),
+        "q_norm": jnp.ones((l, h, hd), dtype),
+        "k_norm": jnp.ones((l, h, hd), dtype),
+    }
+    if cfg.has_latent_modules:
+        attn["wk_latent"] = _linear_init(keys[9], ds, (l, ds, d), dtype)
+        attn["wv_latent"] = _linear_init(keys[10], ds, (l, ds, d), dtype)
+
+    params = {
+        "text_encoder": {
+            "embedding": jax.random.normal(keys[11], (cfg.text_vocab_size, dt)).astype(dtype),
+            "blocks": _init_encoder_blocks(
+                keys[12], cfg.text_num_layers, dt, cfg.text_num_heads,
+                cfg.text_intermediate_size, dtype),
+        },
+        "speaker_encoder": patch_encoder(keys[13]),
+        "text_norm": jnp.ones((dt,), dtype),
+        "speaker_norm": jnp.ones((ds,), dtype),
+        "cond_module": {
+            "w0": _linear_init(keys[14], cfg.timestep_embed_size,
+                               (cfg.timestep_embed_size, d), dtype),
+            "w1": _linear_init(keys[15], d, (d, d), dtype),
+            "w2": _linear_init(keys[16], d, (d, 3 * d), dtype),
+        },
+        "in_proj": {"w": _linear_init(keys[17], cfg.latent_size, (cfg.latent_size, d), dtype),
+                    "b": jnp.zeros((d,), dtype)},
+        "blocks": {
+            "attention": attn,
+            "mlp": {
+                "w1": _linear_init(keys[18], d, (l, d, cfg.intermediate_size), dtype),
+                "w3": _linear_init(keys[19], d, (l, d, cfg.intermediate_size), dtype),
+                "w2": _linear_init(keys[20], cfg.intermediate_size,
+                                   (l, cfg.intermediate_size, d), dtype),
+            },
+            "attention_adaln": adaln(keys[21]),
+            "mlp_adaln": adaln(keys[22]),
+        },
+        "out_norm": jnp.ones((d,), dtype),
+        "out_proj": {"w": _linear_init(keys[23], d, (d, cfg.latent_size), dtype),
+                     "b": jnp.zeros((cfg.latent_size,), dtype)},
+    }
+    if cfg.has_latent_modules:
+        params["latent_encoder"] = patch_encoder(jax.random.fold_in(key, 99))
+        params["latent_norm"] = jnp.ones((ds,), dtype)
+    return params
