@@ -169,30 +169,55 @@ def get_kv_cache_latent(params: dict, cfg: DiTConfig, prefix_latent):
 # ---------------------------------------------------------------------------
 # DiT trunk forward
 # ---------------------------------------------------------------------------
+#
+# The internal layout is *grouped*: queries carry a CFG-group axis G while the
+# text/speaker/latent KV caches stay at batch B and broadcast across groups.
+# The reference instead triples the caches along batch for the 3 guidance
+# branches (reference: inference.py:489-497) — identical math (the branches
+# differ only in masks; cache values are the conditional ones), but sharing
+# the caches cuts KV HBM traffic 3x in the hot loop.
 
 
-def dit_forward(
+def _joint_attention_grouped(q, k_self, v_self, ctx_k, ctx_v, ctx_mask):
+    """Segmented joint attention.
+
+    q, k_self, v_self: (G, B, S, H, Dh) — self keys are per-group (x diverges
+    across CFG branches after layer 0). ctx_k/ctx_v: (B, T, H, Dh) shared
+    context (latent|text|speaker concat). ctx_mask: (G, B, T) bool.
+    Self keys are always visible (reference: model.py:249). fp32 softmax.
+    Returns (G, B, S, H, Dh).
+    """
+    g, b, s, h, d = q.shape
+    scale = 1.0 / jnp.sqrt(jnp.float32(d))
+    l_self = jnp.einsum("gbshd,gbthd->gbhst", q, k_self,
+                        preferred_element_type=jnp.float32) * scale
+    l_ctx = jnp.einsum("gbshd,bthd->gbhst", q, ctx_k,
+                       preferred_element_type=jnp.float32) * scale
+    l_ctx = jnp.where(ctx_mask[:, :, None, None, :], l_ctx, jnp.float32(-1e30))
+    logits = jnp.concatenate([l_self, l_ctx], axis=-1)
+    w = jax.nn.softmax(logits, axis=-1).astype(v_self.dtype)
+    w_self, w_ctx = w[..., :s], w[..., s:]
+    out = jnp.einsum("gbhst,gbthd->gbshd", w_self, v_self,
+                     preferred_element_type=jnp.float32)
+    out = out + jnp.einsum("gbhst,bthd->gbshd", w_ctx, ctx_v,
+                           preferred_element_type=jnp.float32)
+    return out.astype(v_self.dtype)
+
+
+def _dit_forward_grouped(
     params: dict,
     cfg: DiTConfig,
-    x: jnp.ndarray,                     # (B, S, latent_size), model dtype
-    t: jnp.ndarray,                     # (B,), model dtype
-    text_mask: jnp.ndarray,             # (B, T_text) bool
-    speaker_mask: jnp.ndarray,          # (B, S_spk_latents) bool (pre-stride)
+    x: jnp.ndarray,                     # (G, B, S, latent_size), model dtype
+    t: jnp.ndarray,                     # (B,), model dtype (same t across groups)
+    ctx_mask: jnp.ndarray,              # (G, B, T_ctx) bool over [latent|text|speaker]
     kv_text: Tuple[jnp.ndarray, jnp.ndarray],     # each (L, B, T_text, H, Dh)
     kv_speaker: Tuple[jnp.ndarray, jnp.ndarray],  # each (L, B, T_spk, H, Dh)
-    rope_q: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,  # (cos, sin) (S, Dh/2)
-    kv_latent: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
-    latent_mask: Optional[jnp.ndarray] = None,    # (B, T_lat) bool
-    speaker_kv_scale: Optional[jnp.ndarray] = None,  # (L,) per-layer use-site scale
+    rope_q: Optional[Tuple[jnp.ndarray, jnp.ndarray]],
+    kv_latent: Optional[Tuple[jnp.ndarray, jnp.ndarray]],
+    speaker_kv_scale: Optional[jnp.ndarray],      # (L,) use-site scale
 ) -> jnp.ndarray:
-    """reference: model.py:563-604. Returns fp32 velocity (B, S, latent_size).
-
-    rope_q defaults to positions [0, S); blockwise callers pass tables sliced
-    at start_pos (reference: model.py:229 start_pos query offset).
-    latent_mask encodes the reference's `latent_pos < start_pos` gating
-    (model.py:243-244) — computed by the caller, branchlessly.
-    """
-    b, s, _ = x.shape
+    """Core trunk (reference: model.py:563-604). Returns fp32 (G, B, S, D_lat)."""
+    g, b, s, _ = x.shape
     h_, dh = cfg.num_heads, cfg.head_dim
     eps = cfg.norm_eps
 
@@ -201,36 +226,26 @@ def dit_forward(
     else:
         cos_q, sin_q = rope_q
 
-    # stride-4 downsample of the speaker mask (reference: model.py:581)
-    spk_mask = speaker_mask[..., :: cfg.speaker_patch_size]
-
     cond = timestep_embedding(t, cfg.timestep_embed_size)
     cm = params["cond_module"]
     cond = jax.nn.silu(cond @ cm["w0"])
     cond = jax.nn.silu(cond @ cm["w1"])
     cond = cond @ cm["w2"]
-    cond = cond[:, None]  # (B, 1, 3D)
+    cond = cond[:, None]  # (B, 1, 3D) — broadcasts over the group axis
 
     x = x @ params["in_proj"]["w"] + params["in_proj"]["b"]
 
     kt_k, kt_v = kv_text
     ks_k, ks_v = kv_speaker
     has_latent = kv_latent is not None and kv_latent[0].shape[2] > 0
-    if has_latent:
-        kl_k, kl_v = kv_latent
-        if latent_mask is None:
-            latent_mask = jnp.ones((b, kl_k.shape[2]), dtype=jnp.bool_)
 
     if speaker_kv_scale is None:
         speaker_kv_scale = jnp.ones((cfg.num_layers,), dtype=jnp.float32)
 
-    self_mask = jnp.ones((b, s), dtype=jnp.bool_)
+    per = {"p": params["blocks"], "kt_k": kt_k, "kt_v": kt_v,
+           "ks_k": ks_k, "ks_v": ks_v, "s_scale": speaker_kv_scale}
     if has_latent:
-        key_mask = jnp.concatenate([self_mask, latent_mask, text_mask, spk_mask], axis=1)
-    else:
-        key_mask = jnp.concatenate([self_mask, text_mask, spk_mask], axis=1)
-
-    blocks = params["blocks"]
+        per["kl_k"], per["kl_v"] = kv_latent
 
     def body(x, per):
         p = per["p"]
@@ -238,26 +253,24 @@ def dit_forward(
         skv = per["s_scale"].astype(ks_k.dtype)
 
         h, attn_gate = low_rank_adaln(x, cond, p["attention_adaln"], eps)
-        q = (h @ a["wq"]).reshape(b, s, h_, dh)
-        k_self = (h @ a["wk"]).reshape(b, s, h_, dh)
-        v_self = (h @ a["wv"]).reshape(b, s, h_, dh)
+        q = (h @ a["wq"]).reshape(g, b, s, h_, dh)
+        k_self = (h @ a["wk"]).reshape(g, b, s, h_, dh)
+        v_self = (h @ a["wv"]).reshape(g, b, s, h_, dh)
         gate = h @ a["gate"]
         q = rms_norm(q, a["q_norm"], eps)
         k_self = rms_norm(k_self, a["k_norm"], eps)
         q = apply_rope_half_heads(q, cos_q, sin_q)
         k_self = apply_rope_half_heads(k_self, cos_q, sin_q)
 
-        parts_k = [k_self]
-        parts_v = [v_self]
         if has_latent:
-            parts_k.append(per["kl_k"])
-            parts_v.append(per["kl_v"])
-        parts_k += [per["kt_k"], per["ks_k"] * skv]
-        parts_v += [per["kt_v"], per["ks_v"] * skv]
-        k = jnp.concatenate(parts_k, axis=1)
-        v = jnp.concatenate(parts_v, axis=1)
+            ctx_k = jnp.concatenate([per["kl_k"], per["kt_k"], per["ks_k"] * skv], axis=1)
+            ctx_v = jnp.concatenate([per["kl_v"], per["kt_v"], per["ks_v"] * skv], axis=1)
+        else:
+            ctx_k = jnp.concatenate([per["kt_k"], per["ks_k"] * skv], axis=1)
+            ctx_v = jnp.concatenate([per["kt_v"], per["ks_v"] * skv], axis=1)
 
-        o = sdpa(q, k, v, mask=key_mask).reshape(b, s, cfg.model_size)
+        o = _joint_attention_grouped(q, k_self, v_self, ctx_k, ctx_v, ctx_mask)
+        o = o.reshape(g, b, s, cfg.model_size)
         o = o * jax.nn.sigmoid(gate)
         x = x + attn_gate * (o @ a["wo"])
 
@@ -265,16 +278,80 @@ def dit_forward(
         x = x + mlp_gate * swiglu_mlp(h, p["mlp"])
         return x, None
 
-    per = {"p": blocks, "kt_k": kt_k, "kt_v": kt_v, "ks_k": ks_k, "ks_v": ks_v,
-           "s_scale": speaker_kv_scale}
-    if has_latent:
-        per["kl_k"], per["kl_v"] = kl_k, kl_v
-
     x, _ = jax.lax.scan(body, x, per)
 
     x = rms_norm(x, params["out_norm"], eps)
     x = x @ params["out_proj"]["w"] + params["out_proj"]["b"]
     return x.astype(jnp.float32)
+
+
+def build_ctx_mask(cfg: DiTConfig, text_mask, speaker_mask, latent_mask=None):
+    """Concatenate per-segment key masks in reference order [latent|text|
+    speaker] with the stride-4 speaker downsample (reference: model.py:581,
+    246-253). Inputs (.., T) bool with any shared leading dims."""
+    spk = speaker_mask[..., :: cfg.speaker_patch_size]
+    parts = [] if latent_mask is None else [latent_mask]
+    parts += [text_mask, spk]
+    return jnp.concatenate(parts, axis=-1)
+
+
+def dit_forward(
+    params: dict,
+    cfg: DiTConfig,
+    x: jnp.ndarray,                     # (B, S, latent_size)
+    t: jnp.ndarray,                     # (B,)
+    text_mask: jnp.ndarray,             # (B, T_text) bool
+    speaker_mask: jnp.ndarray,          # (B, S_spk_latents) bool (pre-stride)
+    kv_text, kv_speaker,
+    rope_q=None, kv_latent=None, latent_mask=None, speaker_kv_scale=None,
+) -> jnp.ndarray:
+    """Single-branch forward (reference: model.py:563-604), fp32 output.
+
+    rope_q defaults to positions [0, S); blockwise callers pass tables sliced
+    at start_pos (reference: model.py:229). latent_mask encodes the
+    reference's `latent_pos < start_pos` key gating (model.py:243-244).
+    """
+    has_latent = kv_latent is not None and kv_latent[0].shape[2] > 0
+    if has_latent and latent_mask is None:
+        latent_mask = jnp.ones((x.shape[0], kv_latent[0].shape[2]), dtype=jnp.bool_)
+    ctx_mask = build_ctx_mask(cfg, text_mask, speaker_mask,
+                              latent_mask if has_latent else None)
+    out = _dit_forward_grouped(
+        params, cfg, x[None], t, ctx_mask[None], kv_text, kv_speaker,
+        rope_q, kv_latent if has_latent else None, speaker_kv_scale)
+    return out[0]
+
+
+def dit_forward_cfg(
+    params: dict,
+    cfg: DiTConfig,
+    x: jnp.ndarray,                     # (B, S, latent_size) — shared across branches
+    t: jnp.ndarray,                     # (B,)
+    text_mask, speaker_mask,            # (B, T) bool, conditional masks
+    kv_text, kv_speaker,
+    rope_q=None, kv_latent=None, latent_mask=None, speaker_kv_scale=None,
+) -> jnp.ndarray:
+    """Three-branch CFG forward: [cond, text-uncond, speaker-uncond].
+
+    Branch masks follow reference inference.py:479-497: unconds attend to
+    nothing in their ablated segment but the caches carry conditional values.
+    Returns fp32 (3, B, S, latent_size).
+    """
+    has_latent = kv_latent is not None and kv_latent[0].shape[2] > 0
+    zeros_t = jnp.zeros_like(text_mask)
+    zeros_s = jnp.zeros_like(speaker_mask)
+    lm = None
+    if has_latent:
+        if latent_mask is None:
+            latent_mask = jnp.ones((x.shape[0], kv_latent[0].shape[2]), dtype=jnp.bool_)
+        lm = jnp.broadcast_to(latent_mask[None], (3,) + latent_mask.shape)
+    text_m = jnp.stack([text_mask, zeros_t, text_mask])
+    spk_m = jnp.stack([speaker_mask, speaker_mask, zeros_s])
+    ctx_mask = build_ctx_mask(cfg, text_m, spk_m, lm)
+    xg = jnp.broadcast_to(x[None], (3,) + x.shape)
+    return _dit_forward_grouped(
+        params, cfg, xg, t, ctx_mask, kv_text, kv_speaker,
+        rope_q, kv_latent if has_latent else None, speaker_kv_scale)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,100 @@
+"""Noise-injected parity of the lax.scan Euler CFG sampler vs the reference
+PyTorch sampler (SURVEY.md §4 item 1; BASELINE config 1 analogue on a tiny
+model: fp32 CPU, 8 steps)."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from echo_tts_tpu.core.config import DiTConfig, SamplerConfig
+from echo_tts_tpu.checkpoints.convert import convert_dit_state, torch_state_to_numpy
+from echo_tts_tpu.sampling.euler_cfg import sample_euler_cfg_independent_guidances
+
+from ref_utils import build_torch_dit, load_reference_inference_module
+
+CFG = DiTConfig().tiny()
+
+
+@pytest.fixture(scope="module")
+def setup():
+    import torch
+
+    tm = build_torch_dit(CFG, seed=3)
+    params = convert_dit_state(torch_state_to_numpy(tm), CFG)
+    ref_inf = load_reference_inference_module()
+
+    g = torch.Generator().manual_seed(11)
+    B, T, SPK = 1, 12, 8
+    ids = torch.randint(0, 256, (B, T), generator=g)
+    text_mask = torch.ones(B, T, dtype=torch.bool)
+    text_mask[0, 10:] = False
+    spk = torch.randn(B, SPK, CFG.latent_size, generator=g)
+    spk_mask = torch.ones(B, SPK, dtype=torch.bool)
+    return tm, params, ref_inf, ids, text_mask, spk, spk_mask
+
+
+def _run_both(setup, sc: SamplerConfig, seq_len=16, rng_seed=5):
+    import torch
+
+    tm, params, ref_inf, ids, text_mask, spk, spk_mask = setup
+
+    with torch.no_grad():
+        ref = ref_inf.sample_euler_cfg_independent_guidances(
+            model=tm,
+            speaker_latent=spk,
+            speaker_mask=spk_mask,
+            text_input_ids=ids,
+            text_mask=text_mask,
+            rng_seed=rng_seed,
+            num_steps=sc.num_steps,
+            cfg_scale_text=sc.cfg_scale_text,
+            cfg_scale_speaker=sc.cfg_scale_speaker,
+            cfg_min_t=sc.cfg_min_t,
+            cfg_max_t=sc.cfg_max_t,
+            truncation_factor=sc.truncation_factor,
+            rescale_k=sc.rescale_k,
+            rescale_sigma=sc.rescale_sigma,
+            speaker_kv_scale=sc.speaker_kv_scale,
+            speaker_kv_max_layers=sc.speaker_kv_max_layers,
+            speaker_kv_min_t=sc.speaker_kv_min_t,
+            sequence_length=seq_len,
+        ).numpy()
+
+    # reproduce the reference's torch RNG draw and inject it (inference.py:499-504)
+    gen = torch.Generator(device="cpu").manual_seed(rng_seed)
+    noise = torch.randn((1, seq_len, CFG.latent_size), dtype=torch.float32,
+                        generator=gen).numpy()
+
+    out = sample_euler_cfg_independent_guidances(
+        params, CFG, sc,
+        jnp.asarray(spk.numpy()), jnp.asarray(spk_mask.numpy()),
+        jnp.asarray(ids.numpy()), jnp.asarray(text_mask.numpy()),
+        jnp.asarray(noise), model_dtype=jnp.float32)
+    return ref, np.asarray(out)
+
+
+def test_sampler_parity_default(setup):
+    sc = SamplerConfig(num_steps=8, cfg_scale_text=3.0, cfg_scale_speaker=8.0,
+                       cfg_min_t=0.5, cfg_max_t=1.0, truncation_factor=0.8,
+                       sequence_length=16)
+    ref, out = _run_both(setup, sc)
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_sampler_parity_rescale_and_kv_scale(setup):
+    sc = SamplerConfig(num_steps=8, cfg_scale_text=3.0, cfg_scale_speaker=5.0,
+                       cfg_min_t=0.5, cfg_max_t=1.0, truncation_factor=1.0,
+                       rescale_k=1.2, rescale_sigma=3.0,
+                       speaker_kv_scale=1.5, speaker_kv_max_layers=1,
+                       speaker_kv_min_t=0.3, sequence_length=16)
+    ref, out = _run_both(setup, sc)
+    np.testing.assert_allclose(out, ref, atol=5e-4, rtol=1e-3)
+
+
+def test_sampler_parity_no_cfg_window(setup):
+    """cfg window excluded entirely -> single-branch forwards only."""
+    sc = SamplerConfig(num_steps=4, cfg_scale_text=3.0, cfg_scale_speaker=8.0,
+                       cfg_min_t=2.0, cfg_max_t=3.0, truncation_factor=None,
+                       sequence_length=16)
+    ref, out = _run_both(setup, sc)
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-3)
