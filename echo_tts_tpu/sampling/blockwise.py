@@ -1,0 +1,121 @@
+"""Blockwise / continuation generation (reference: inference_blockwise.py:14-123).
+
+TPU-native design: the prefix latent buffer is allocated at full static size
+up front and filled with `lax.dynamic_update_slice` — exactly the reference's
+scheme (inference_blockwise.py:59,120) — so every block reuses the SAME
+compiled executable per block size. The latent KV cache is rebuilt from the
+full (padded) prefix each block; garbage in not-yet-generated positions is
+gated by the `latent_pos < start_pos` mask (reference: model.py:243-244). The
+growing state stays device-resident between blocks (donated buffers), per
+SURVEY.md §5.7.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from echo_tts_tpu.core.config import DiTConfig, SamplerConfig
+from echo_tts_tpu.core.rope import precompute_rope
+from echo_tts_tpu.models.dit import (
+    get_kv_cache_latent,
+    get_kv_cache_speaker,
+    get_kv_cache_text,
+)
+from echo_tts_tpu.sampling.euler_cfg import euler_cfg_scan
+
+
+@partial(jax.jit, static_argnames=("cfg", "sc", "block_size", "total_len", "model_dtype"),
+         donate_argnums=(3,))
+def _sample_block(
+    params: dict,
+    cfg: DiTConfig,
+    sc: SamplerConfig,
+    prefix_latent: jnp.ndarray,   # (B, total_len, latent) fp32, donated
+    start_pos: jnp.ndarray,       # () int32 — dynamic so all blocks of one size share a compile
+    noise: jnp.ndarray,           # (B, block_size, latent) fp32
+    text_mask, speaker_mask,
+    kv_text, kv_speaker,
+    block_size: int,
+    total_len: int,
+    model_dtype,
+):
+    # latent-prefix KV over the full padded prefix; invalid tail masked
+    kv_latent = get_kv_cache_latent(params, cfg, prefix_latent.astype(model_dtype))
+    n_lat = kv_latent[0].shape[2]
+    latent_positions = jnp.arange(n_lat) * cfg.speaker_patch_size
+    latent_mask = (latent_positions[None, :] < start_pos)
+    latent_mask = jnp.broadcast_to(latent_mask, (prefix_latent.shape[0], n_lat))
+
+    # query RoPE at positions [start_pos, start_pos + block)
+    cos_full, sin_full = precompute_rope(cfg.head_dim, total_len)
+    cos = jax.lax.dynamic_slice_in_dim(cos_full, start_pos, block_size, axis=0)
+    sin = jax.lax.dynamic_slice_in_dim(sin_full, start_pos, block_size, axis=0)
+
+    x_init = noise
+    if sc.truncation_factor is not None:
+        x_init = x_init * sc.truncation_factor
+
+    x_out = euler_cfg_scan(
+        params, cfg, sc, x_init, text_mask, speaker_mask, kv_text, kv_speaker,
+        model_dtype, rope_q=(cos, sin), kv_latent=kv_latent,
+        latent_mask=latent_mask)
+
+    prefix_latent = jax.lax.dynamic_update_slice(
+        prefix_latent, x_out, (0, start_pos, 0))
+    return prefix_latent
+
+
+def sample_blockwise_euler_cfg_independent_guidances(
+    params: dict,
+    cfg: DiTConfig,
+    sc: SamplerConfig,
+    speaker_latent: jnp.ndarray,
+    speaker_mask: jnp.ndarray,
+    text_input_ids: jnp.ndarray,
+    text_mask: jnp.ndarray,
+    block_sizes: Sequence[int],
+    noises: Optional[List[jnp.ndarray]] = None,   # per-block (B, block, latent)
+    rng_seed: int = 0,
+    continuation_latent: Optional[jnp.ndarray] = None,
+    model_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """reference: inference_blockwise.py:14-123. Returns fp32 latents
+    (B, continuation_len + sum(block_sizes), latent_size).
+
+    Speaker-KV force scaling inside blocks uses the same branchless per-step
+    scale as the one-shot sampler; the reference re-scales the cache at each
+    block start and unscales at the t-crossing (inference_blockwise.py:68-70,
+    114-116), which is the same schedule per block. (Quirk consciously fixed:
+    if speaker_kv_min_t > t0 the reference never unscales and compounds the
+    scale across blocks — scale**block_idx — which is clearly unintended; we
+    apply a constant scale in that regime instead.)
+    """
+    b = text_input_ids.shape[0]
+    kv_text = get_kv_cache_text(params, cfg, text_input_ids, text_mask)
+    kv_speaker = get_kv_cache_speaker(params, cfg, speaker_latent.astype(model_dtype))
+
+    cont_len = 0 if continuation_latent is None else continuation_latent.shape[1]
+    total_len = cont_len + sum(int(s) for s in block_sizes)
+
+    prefix = jnp.zeros((b, total_len, cfg.latent_size), dtype=jnp.float32)
+    if continuation_latent is not None:
+        prefix = prefix.at[:, :cont_len].set(continuation_latent.astype(jnp.float32))
+
+    start_pos = cont_len
+    for bi, block_size in enumerate(block_sizes):
+        if noises is not None:
+            noise = jnp.asarray(noises[bi], dtype=jnp.float32)
+        else:
+            key = jax.random.fold_in(jax.random.PRNGKey(rng_seed), bi)
+            noise = jax.random.normal(key, (b, block_size, cfg.latent_size),
+                                      dtype=jnp.float32)
+        prefix = _sample_block(
+            params, cfg, sc, prefix, jnp.int32(start_pos), noise,
+            text_mask, speaker_mask, kv_text, kv_speaker,
+            int(block_size), total_len, model_dtype)
+        start_pos += int(block_size)
+
+    return prefix
