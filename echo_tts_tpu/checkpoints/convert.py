@@ -166,6 +166,132 @@ def fold_weight_norm(state: State) -> State:
     return out
 
 
+# ---------------------------------------------------------------------------
+# S1-DAC conversion (reference: autoencoder.py module tree, weight-norm folded)
+# ---------------------------------------------------------------------------
+
+
+def _conv(state: State, name: str) -> dict:
+    p = {"w": state[f"{name}.weight"]}
+    if f"{name}.bias" in state:
+        p["b"] = state[f"{name}.bias"]
+    return p
+
+
+def _cconv(state: State, name: str) -> dict:
+    """CausalConvNet/CausalTransConvNet wrap their conv as `.conv`."""
+    return _conv(state, f"{name}.conv")
+
+
+def _convnext(state: State, name: str) -> dict:
+    return {
+        "dwconv": _cconv(state, f"{name}.dwconv"),
+        "norm": {"w": state[f"{name}.norm.weight"], "b": state[f"{name}.norm.bias"]},
+        "pwconv1": {"w": np.ascontiguousarray(state[f"{name}.pwconv1.weight"].T),
+                    "b": state[f"{name}.pwconv1.bias"]},
+        "pwconv2": {"w": np.ascontiguousarray(state[f"{name}.pwconv2.weight"].T),
+                    "b": state[f"{name}.pwconv2.bias"]},
+        "gamma": state[f"{name}.gamma"],
+    }
+
+
+def _vq(state: State, name: str) -> dict:
+    return {
+        "in_proj": _conv(state, f"{name}.in_proj"),
+        "out_proj": _conv(state, f"{name}.out_proj"),
+        "codebook": state[f"{name}.codebook.weight"],
+    }
+
+
+def _transformer(state: State, name: str, n_layers: int) -> dict:
+    layers = []
+    for i in range(n_layers):
+        pre = f"{name}.layers.{i}"
+        layers.append({
+            "attention": {
+                "wqkv": {"w": np.ascontiguousarray(state[f"{pre}.attention.wqkv.weight"].T)},
+                "wo": {"w": np.ascontiguousarray(state[f"{pre}.attention.wo.weight"].T)},
+            },
+            "feed_forward": {
+                k: {"w": np.ascontiguousarray(state[f"{pre}.feed_forward.{k}.weight"].T)}
+                for k in ("w1", "w2", "w3")
+            },
+            "attention_norm": {"w": state[f"{pre}.attention_norm.weight"]},
+            "ffn_norm": {"w": state[f"{pre}.ffn_norm.weight"]},
+            "attention_layer_scale": state[f"{pre}.attention_layer_scale.gamma"],
+            "ffn_layer_scale": state[f"{pre}.ffn_layer_scale.gamma"],
+        })
+    return {"layers": layers, "norm": {"w": state[f"{name}.norm.weight"]}}
+
+
+def _residual_unit_p(state: State, name: str) -> dict:
+    return {
+        "snake1": state[f"{name}.block.0.alpha"],
+        "conv1": _cconv(state, f"{name}.block.1"),
+        "snake2": state[f"{name}.block.2.alpha"],
+        "conv2": _cconv(state, f"{name}.block.3"),
+    }
+
+
+def convert_ae_state(state: State, cfg: AEConfig) -> dict:
+    """Reference torch DAC (causal build, weight-norm already folded via
+    `fold_weight_norm`) -> JAX pytree for echo_tts_tpu.models.s1dac."""
+    n_enc = len(cfg.encoder_rates)
+    enc_blocks = []
+    for i in range(n_enc):
+        base = f"encoder.block.{1 + i}.block"
+        blk = {
+            "res_units": [_residual_unit_p(state, f"{base}.{j}") for j in range(3)],
+            "snake": state[f"{base}.3.alpha"],
+            "down": _cconv(state, f"{base}.4"),
+        }
+        n_t = cfg.encoder_transformer_layers[i]
+        if n_t > 0:
+            blk["transformer"] = _transformer(state, f"{base}.5", n_t)
+        enc_blocks.append(blk)
+
+    n_dec = len(cfg.decoder_rates)
+    dec_blocks = []
+    for i in range(n_dec):
+        base = f"decoder.model.{1 + i}.block"
+        dec_blocks.append({
+            "snake": state[f"{base}.0.alpha"],
+            "up": _cconv(state, f"{base}.1"),
+            "res_units": [_residual_unit_p(state, f"{base}.{2 + j}") for j in range(3)],
+        })
+
+    q = "quantizer"
+    n_ds = len(cfg.downsample_factor)
+    params = {
+        "encoder": {
+            "stem": _cconv(state, "encoder.block.0"),
+            "blocks": enc_blocks,
+            "head_snake": state[f"encoder.block.{1 + n_enc}.alpha"],
+            "head": _cconv(state, f"encoder.block.{2 + n_enc}"),
+        },
+        "decoder": {
+            "stem": _cconv(state, "decoder.model.0"),
+            "blocks": dec_blocks,
+            "head_snake": state[f"decoder.model.{1 + n_dec}.alpha"],
+            "head": _cconv(state, f"decoder.model.{2 + n_dec}"),
+        },
+        "quantizer": {
+            "semantic": [_vq(state, f"{q}.semantic_quantizer.quantizers.0")],
+            "residual": [_vq(state, f"{q}.quantizer.quantizers.{i}")
+                         for i in range(cfg.n_codebooks)],
+            "downsample": [{"conv": _cconv(state, f"{q}.downsample.{i}.0"),
+                            "convnext": _convnext(state, f"{q}.downsample.{i}.1")}
+                           for i in range(n_ds)],
+            "upsample": [{"conv": _cconv(state, f"{q}.upsample.{i}.0"),
+                          "convnext": _convnext(state, f"{q}.upsample.{i}.1")}
+                         for i in range(n_ds)],
+            "pre_module": _transformer(state, f"{q}.pre_module", cfg.q_n_layer),
+            "post_module": _transformer(state, f"{q}.post_module", cfg.q_n_layer),
+        },
+    }
+    return params
+
+
 def torch_state_to_numpy(module_or_state) -> State:
     """Accept a torch nn.Module or a state_dict; return {name: np.ndarray}.
     (Test/fixture helper — production path reads safetensors directly.)"""

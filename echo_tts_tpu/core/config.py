@@ -161,11 +161,13 @@ class AEConfig:
         return self.hop_length * d  # 2048
 
     def tiny(self) -> "AEConfig":
+        # encoder_dim*2^i must stay divisible by 64 where a transformer exists
+        # (the reference hard-codes n_head = dim // 64, autoencoder.py:859)
         return dataclasses.replace(
             self,
-            encoder_dim=8,
+            encoder_dim=32,
             encoder_rates=(2, 2),
-            latent_dim=32,
+            latent_dim=64,
             decoder_dim=64,
             decoder_rates=(2, 2),
             encoder_transformer_layers=(0, 1),
@@ -176,9 +178,9 @@ class AEConfig:
             semantic_codebook_size=32,
             q_n_layer=1,
             q_n_head=2,
-            q_dim=32,
-            q_intermediate_size=48,
-            q_head_dim=16,
+            q_dim=64,
+            q_intermediate_size=96,
+            q_head_dim=32,
             q_window_size=8,
             enc_window_size=16,
         )

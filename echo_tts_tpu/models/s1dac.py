@@ -1,0 +1,382 @@
+"""Fish S1-DAC audio codec in JAX (reference: autoencoder.py).
+
+TPU-native re-architecture of the reference's torch module tree:
+
+* Pure functions over parameter pytrees; weight-norm parametrizations are
+  folded into plain weights at conversion time (reference keeps runtime
+  g·v/||v|| recompute, autoencoder.py:90-94) — inference-only, so the
+  parametrization machinery is dead weight.
+* Causal convs use `lax.conv_general_dilated` with the reference's exact
+  left-pad/extra-right-pad arithmetic (autoencoder.py:49-81, 285-289)
+  computed at trace time from static shapes.
+* Transposed convs via `lax.conv_transpose(transpose_kernel=True)` matching
+  torch ConvTranspose1d, with the causal right-unpad (autoencoder.py:310-316).
+* The RVQ encode path computes code indices with one batched MXU matmul per
+  codebook (L2-normalized ViT-VQGAN lookup, autoencoder.py:145-157).
+
+Quirk preserved (do not "fix"): the reference's DecoderBlock constructs its
+transformer but never adds it to the module (autoencoder.py:944-965), so the
+decoder has NO transformer layers — we match that; only the encoder's last
+block and the quantizer pre/post modules carry transformers.
+
+Layout note: like the reference, time-domain tensors are channels-first
+(B, C, T) through the conv stack and transposed to (B, T, C) inside
+transformer/ConvNeXt MLP segments.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from echo_tts_tpu.core.config import AEConfig
+
+# ---------------------------------------------------------------------------
+# Primitives
+# ---------------------------------------------------------------------------
+
+
+def conv1d(x, w, b=None, *, stride=1, dilation=1, groups=1, pad=(0, 0)):
+    """torch Conv1d semantics on (B, C, T); w: (out, in/groups, k)."""
+    if pad != (0, 0):
+        x = jnp.pad(x, ((0, 0), (0, 0), pad))
+    out = jax.lax.conv_general_dilated(
+        x, w,
+        window_strides=(stride,),
+        padding="VALID",
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        feature_group_count=groups,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    if b is not None:
+        out = out + b[None, :, None]
+    return out
+
+
+def conv_transpose1d(x, w, b=None, *, stride=1):
+    """torch ConvTranspose1d (no padding) on (B, C, T); w: (in, out, k).
+
+    With transpose_kernel=True, lax swaps the kernel's I/O identifiers, so the
+    torch (in, out, k) layout is declared as "OIH" (verified bit-exact vs
+    torch in tests/test_s1dac_parity.py)."""
+    out = jax.lax.conv_transpose(
+        x, w,
+        strides=(stride,),
+        padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        transpose_kernel=True,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    if b is not None:
+        out = out + b[None, :, None]
+    return out
+
+
+def get_extra_padding_for_conv1d(length: int, kernel_size: int, stride: int,
+                                 padding_total: int) -> int:
+    """reference: autoencoder.py:49-56 — right pad so striding covers length."""
+    n_frames = (length - kernel_size + padding_total) / stride + 1
+    ideal_length = (math.ceil(n_frames) - 1) * stride + (kernel_size - padding_total)
+    return ideal_length - length
+
+
+def causal_conv(x, p: dict, *, kernel_size: int, stride=1, dilation=1, groups=1):
+    """CausalConvNet (reference: autoencoder.py:264-289): left-pad k_eff-s,
+    plus extra right pad for stride coverage."""
+    k_eff = (kernel_size - 1) * dilation + 1
+    pad = k_eff - stride
+    extra = get_extra_padding_for_conv1d(x.shape[-1], k_eff, stride, pad)
+    return conv1d(x, p["w"], p.get("b"), stride=stride, dilation=dilation,
+                  groups=groups, pad=(pad, extra))
+
+
+def causal_tconv(x, p: dict, *, kernel_size: int, stride=1):
+    """CausalTransConvNet (reference: autoencoder.py:300-316): transposed conv
+    then right-unpad k-s."""
+    out = conv_transpose1d(x, p["w"], p.get("b"), stride=stride)
+    pad = kernel_size - stride
+    if pad > 0:
+        out = out[..., :-pad]
+    return out
+
+
+def snake(x, alpha):
+    """x + sin^2(alpha x)/(alpha+1e-9), per-channel alpha (1, C, 1)
+    (reference: autoencoder.py:96-109). Pure VPU; XLA fuses it into the
+    surrounding convs."""
+    return x + (1.0 / (alpha + 1e-9)) * jnp.square(jnp.sin(alpha * x))
+
+
+def _layer_norm(x, w, b, eps=1e-6):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * w + b
+
+
+def convnext_block(x, p: dict, *, kernel_size=7, dilation=1):
+    """ConvNeXt 1D block (reference: autoencoder.py:333-373): depthwise causal
+    conv -> LN -> pw MLP (GELU exact) -> layer-scale gamma, residual."""
+    dim = x.shape[1]
+    inp = x
+    x = causal_conv(x, p["dwconv"], kernel_size=kernel_size, dilation=dilation,
+                    groups=dim)
+    x = x.transpose(0, 2, 1)
+    x = _layer_norm(x, p["norm"]["w"], p["norm"]["b"], eps=1e-6)
+    x = x @ p["pwconv1"]["w"] + p["pwconv1"]["b"]
+    x = jax.nn.gelu(x, approximate=False)
+    x = x @ p["pwconv2"]["w"] + p["pwconv2"]["b"]
+    x = p["gamma"] * x
+    x = x.transpose(0, 2, 1)
+    return inp + x
+
+
+# ---------------------------------------------------------------------------
+# Quantizer-internal transformer (reference: autoencoder.py:503-826)
+# ---------------------------------------------------------------------------
+
+
+def _ae_rope_tables(seq_len: int, head_dim: int, base: float = 10000.0):
+    """The AE's rope cache is stored in bf16 (reference: autoencoder.py:805-813
+    `precompute_freqs_cis(..., dtype=bf16)`); we replicate the quantization
+    then upcast, for bit-comparable angles."""
+    freqs = 1.0 / (base ** (np.arange(0, head_dim, 2)[: head_dim // 2].astype(np.float64) / head_dim))
+    t = np.arange(seq_len, dtype=np.float64)
+    angles = np.outer(t, freqs)
+    cos = jnp.asarray(np.cos(angles), jnp.float32).astype(jnp.bfloat16).astype(jnp.float32)
+    sin = jnp.asarray(np.sin(angles), jnp.float32).astype(jnp.bfloat16).astype(jnp.float32)
+    return cos, sin
+
+
+def _ae_apply_rope(x, cos, sin):
+    """reference: autoencoder.py:815-826 — adjacent-pair rotation, fp32."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    xr, xi = xf[..., 0::2], xf[..., 1::2]
+    c = cos[:, None, :]
+    s = sin[:, None, :]
+    out = jnp.stack([xr * c - xi * s, xi * c + xr * s], axis=-1).reshape(x.shape)
+    return out.astype(dtype)
+
+
+def _ae_rms_norm(x, w, eps=1e-5):
+    """AE RMSNorm casts back BEFORE the weight multiply
+    (reference: autoencoder.py:720-731) — opposite order to the DiT's."""
+    xf = x.astype(jnp.float32)
+    xf = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return xf.astype(x.dtype) * w
+
+
+def window_transformer(x, p: dict, *, n_head: int, head_dim: int,
+                       window_size: Optional[int], norm_eps: float = 1e-5):
+    """WindowLimitedTransformer, causal, channels-first I/O
+    (reference: autoencoder.py:554-608, 744-802). x: (B, C, T)."""
+    x = x.transpose(0, 2, 1)  # (B, T, C)
+    b, s, d = x.shape
+    cos, sin = _ae_rope_tables(s, head_dim)
+
+    # causal window mask (reference: autoencoder.py:762-773)
+    rows = jnp.arange(s)[:, None]
+    cols = jnp.arange(s)[None, :]
+    mask = cols <= rows
+    if window_size is not None:
+        mask = jnp.logical_and(mask, cols >= jnp.maximum(rows - window_size + 1, 0))
+
+    for layer in p["layers"]:
+        h = _ae_rms_norm(x, layer["attention_norm"]["w"], norm_eps)
+        qkv = h @ layer["attention"]["wqkv"]["w"]
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, s, n_head, head_dim)
+        k = k.reshape(b, s, n_head, head_dim)
+        v = v.reshape(b, s, n_head, head_dim)
+        q = _ae_apply_rope(q, cos, sin)
+        k = _ae_apply_rope(k, cos, sin)
+        scale = 1.0 / jnp.sqrt(jnp.float32(head_dim))
+        logits = jnp.einsum("bshd,bthd->bhst", q, k,
+                            preferred_element_type=jnp.float32) * scale
+        logits = jnp.where(mask[None, None], logits, jnp.float32(-1e30))
+        w_ = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        o = jnp.einsum("bhst,bthd->bshd", w_, v,
+                       preferred_element_type=jnp.float32).astype(v.dtype)
+        o = o.reshape(b, s, n_head * head_dim) @ layer["attention"]["wo"]["w"]
+        x = x + layer["attention_layer_scale"] * o
+
+        h = _ae_rms_norm(x, layer["ffn_norm"]["w"], norm_eps)
+        ff = layer["feed_forward"]
+        h = (jax.nn.silu(h @ ff["w1"]["w"]) * (h @ ff["w3"]["w"])) @ ff["w2"]["w"]
+        x = x + layer["ffn_layer_scale"] * h
+
+    x = _ae_rms_norm(x, p["norm"]["w"], norm_eps)
+    return x.transpose(0, 2, 1)
+
+
+# ---------------------------------------------------------------------------
+# Vector quantization (reference: autoencoder.py:117-247)
+# ---------------------------------------------------------------------------
+
+
+def vq_encode_indices(z: jnp.ndarray, q: dict) -> jnp.ndarray:
+    """Nearest L2-normalized code (reference: autoencoder.py:145-157).
+    z: (B, D, T) -> indices (B, T)."""
+    z_e = conv1d(z, q["in_proj"]["w"], q["in_proj"]["b"])  # (B, Dc, T)
+    enc = z_e.transpose(0, 2, 1)  # (B, T, Dc)
+    enc = enc * jax.lax.rsqrt(jnp.sum(enc * enc, axis=-1, keepdims=True) + 1e-24)
+    cb = q["codebook"]
+    cb = cb * jax.lax.rsqrt(jnp.sum(cb * cb, axis=-1, keepdims=True) + 1e-24)
+    # dist = |e|^2 - 2 e.c + |c|^2 ; argmax(-dist) == argmax(e.c) after norm
+    sim = jnp.einsum("btd,kd->btk", enc, cb, preferred_element_type=jnp.float32)
+    return jnp.argmax(sim, axis=-1).astype(jnp.int32)
+
+
+def vq_decode_from_indices(indices: jnp.ndarray, q: dict) -> jnp.ndarray:
+    """codes -> out_proj(codebook[codes]) (reference: autoencoder.py:139-143,
+    223-232). indices (B, T) -> (B, D, T)."""
+    z_p = q["codebook"][indices]  # (B, T, Dc)
+    return conv1d(z_p.transpose(0, 2, 1), q["out_proj"]["w"], q["out_proj"]["b"])
+
+
+def rvq_encode(z: jnp.ndarray, quantizers: list) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Residual VQ stack at eval (reference: autoencoder.py:184-221).
+    Returns (codes (B, N, T), z_q (B, D, T))."""
+    residual = z
+    z_q = jnp.zeros_like(z)
+    codes = []
+    for q in quantizers:
+        idx = vq_encode_indices(residual, q)
+        z_q_i = vq_decode_from_indices(idx, q)
+        residual = residual - z_q_i
+        z_q = z_q + z_q_i
+        codes.append(idx)
+    return jnp.stack(codes, axis=1), z_q
+
+
+def rvq_decode(codes: jnp.ndarray, quantizers: list) -> jnp.ndarray:
+    """reference: autoencoder.py:223-232. codes (B, N, T) -> (B, D, T)."""
+    z_q = None
+    for i, q in enumerate(quantizers):
+        z_q_i = vq_decode_from_indices(codes[:, i], q)
+        z_q = z_q_i if z_q is None else z_q + z_q_i
+    return z_q
+
+
+# ---------------------------------------------------------------------------
+# Encoder / Decoder stacks (reference: autoencoder.py:839-998)
+# ---------------------------------------------------------------------------
+
+
+def _residual_unit(x, p, *, dilation):
+    """reference: autoencoder.py:879-900 (causal: stride-1 convs keep length,
+    so the residual crop is a no-op)."""
+    y = snake(x, p["snake1"])
+    y = causal_conv(y, p["conv1"], kernel_size=7, dilation=dilation)
+    y = snake(y, p["snake2"])
+    y = causal_conv(y, p["conv2"], kernel_size=1)
+    return x + y
+
+
+def encoder_forward(params: dict, cfg: AEConfig, audio: jnp.ndarray) -> jnp.ndarray:
+    """Audio (B, 1, T) -> latents (B, latent_dim, T/hop)
+    (reference: autoencoder.py:903-929)."""
+    p = params["encoder"]
+    x = causal_conv(audio, p["stem"], kernel_size=7)
+    d_model = cfg.encoder_dim
+    for i, (stride, n_t) in enumerate(zip(cfg.encoder_rates,
+                                          cfg.encoder_transformer_layers)):
+        d_model *= 2
+        blk = p["blocks"][i]
+        for j, dil in enumerate((1, 3, 9)):
+            x = _residual_unit(x, blk["res_units"][j], dilation=dil)
+        x = snake(x, blk["snake"])
+        x = causal_conv(x, blk["down"], kernel_size=2 * stride, stride=stride)
+        if n_t > 0:
+            x = window_transformer(
+                x, blk["transformer"], n_head=d_model // 64, head_dim=64,
+                window_size=cfg.enc_window_size)
+    x = snake(x, p["head_snake"])
+    x = causal_conv(x, p["head"], kernel_size=3)
+    return x
+
+
+def decoder_forward(params: dict, cfg: AEConfig, z: jnp.ndarray) -> jnp.ndarray:
+    """Latents (B, latent_dim, T) -> waveform (B, 1, T*hop)
+    (reference: autoencoder.py:932-998; decoder transformers are absent — see
+    module docstring quirk note)."""
+    p = params["decoder"]
+    x = causal_conv(z, p["stem"], kernel_size=7)
+    channels = cfg.decoder_dim
+    for i, stride in enumerate(cfg.decoder_rates):
+        blk = p["blocks"][i]
+        x = snake(x, blk["snake"])
+        x = causal_tconv(x, blk["up"], kernel_size=2 * stride, stride=stride)
+        for j, dil in enumerate((1, 3, 9)):
+            x = _residual_unit(x, blk["res_units"][j], dilation=dil)
+    x = snake(x, p["head_snake"])
+    x = causal_conv(x, p["head"], kernel_size=7)
+    return jnp.tanh(x)
+
+
+# ---------------------------------------------------------------------------
+# Quantizer top (reference: autoencoder.py:376-496) and DAC entry points
+# ---------------------------------------------------------------------------
+
+
+def _downsample(params, cfg: AEConfig, z):
+    for i, factor in enumerate(cfg.downsample_factor):
+        st = params["quantizer"]["downsample"][i]
+        z = causal_conv(z, st["conv"], kernel_size=factor, stride=factor)
+        z = convnext_block(z, st["convnext"])
+    return z
+
+
+def _upsample(params, cfg: AEConfig, z):
+    for i, factor in enumerate(reversed(cfg.downsample_factor)):
+        st = params["quantizer"]["upsample"][i]
+        z = causal_tconv(z, st["conv"], kernel_size=factor, stride=factor)
+        z = convnext_block(z, st["convnext"])
+    return z
+
+
+def _q_transformer(params, cfg: AEConfig, which: str, z):
+    return window_transformer(
+        z, params["quantizer"][which], n_head=cfg.q_n_head,
+        head_dim=cfg.q_head_dim, window_size=cfg.q_window_size,
+        norm_eps=cfg.norm_eps)
+
+
+def encode_codes(params: dict, cfg: AEConfig, audio: jnp.ndarray) -> jnp.ndarray:
+    """Audio (B, 1, T) -> code indices (B, 1+n_codebooks, T/frame)
+    (reference: autoencoder.py:1080-1100, 451-468)."""
+    length = audio.shape[-1]
+    right_pad = -length % cfg.frame_length
+    if right_pad:
+        audio = jnp.pad(audio, ((0, 0), (0, 0), (0, right_pad)))
+    z = encoder_forward(params, cfg, audio)
+    z = _downsample(params, cfg, z)
+    z = _q_transformer(params, cfg, "pre_module", z)
+    sem_codes, sem_zq = rvq_encode(z, params["quantizer"]["semantic"])
+    res_codes, _ = rvq_encode(z - sem_zq, params["quantizer"]["residual"])
+    return jnp.concatenate([sem_codes, res_codes], axis=1)
+
+
+def codes_to_zq(params: dict, cfg: AEConfig, codes: jnp.ndarray) -> jnp.ndarray:
+    """codes -> summed semantic+residual z_q, BEFORE post/upsample — the
+    latent the TTS pipeline uses (reference: autoencoder.py:1116-1126)."""
+    zq_sem = rvq_decode(codes[:, :1], params["quantizer"]["semantic"])
+    zq_res = rvq_decode(codes[:, 1:], params["quantizer"]["residual"])
+    return zq_sem + zq_res
+
+
+def encode_zq(params: dict, cfg: AEConfig, audio: jnp.ndarray) -> jnp.ndarray:
+    """reference: autoencoder.py:1116-1126."""
+    return codes_to_zq(params, cfg, encode_codes(params, cfg, audio))
+
+
+def decode_zq(params: dict, cfg: AEConfig, z_q: jnp.ndarray) -> jnp.ndarray:
+    """z_q (B, latent_dim, T) -> waveform (reference: autoencoder.py:1128-1132):
+    post_module -> upsample -> decoder."""
+    z = _q_transformer(params, cfg, "post_module", z_q)
+    z = _upsample(params, cfg, z)
+    return decoder_forward(params, cfg, z)
