@@ -1,0 +1,138 @@
+"""End-to-end sampling pipeline (reference: inference.py:341-400).
+
+text -> ids/mask (cap 768) -> speaker audio -> chunked latents/mask ->
+sampler -> PCA deproject + S1-DAC decode -> flattening-point crop.
+
+Shape buckets (reference: gradio_app.py:315-345) are first-class here: text
+and speaker lengths are padded to the configured buckets so the jitted
+sampler compiles once per bucket combination, never per request.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from echo_tts_tpu.core.config import AEConfig, DiTConfig, PipelineConfig, SamplerConfig
+from echo_tts_tpu.models.pca import PCAState
+from echo_tts_tpu.pipeline import tokenizer as tok
+from echo_tts_tpu.pipeline.flattening import crop_audio_to_flattening_point
+from echo_tts_tpu.pipeline.speaker import (
+    ae_decode,
+    find_min_bucket_gte,
+    get_speaker_latent_and_mask,
+)
+from echo_tts_tpu.sampling.euler_cfg import (
+    draw_noise,
+    sample_euler_cfg_independent_guidances,
+)
+
+# SampleFn contract mirrors reference inference.py:341-343:
+# (speaker_latent, speaker_mask, text_ids, text_mask, rng_seed) -> latents
+SampleFn = Callable[..., jnp.ndarray]
+
+
+@dataclasses.dataclass
+class EchoTTS:
+    """Bundles the three weight sets (reference loads them separately:
+    inference.py:14-135) plus configs."""
+
+    dit_params: dict
+    dit_cfg: DiTConfig
+    ae_params: dict
+    ae_cfg: AEConfig
+    pca: PCAState
+    model_dtype: object = jnp.bfloat16
+    pipe_cfg: PipelineConfig = PipelineConfig()
+
+
+def sample_pipeline(
+    tts: EchoTTS,
+    text_prompt: str,
+    speaker_audio: Optional[np.ndarray],       # (1, samples) or None
+    rng_seed: int,
+    sc: Optional[SamplerConfig] = None,
+    sample_fn: Optional[SampleFn] = None,
+    pad_to_max_speaker_latent_length: Optional[int] = None,
+    pad_to_max_text_length: Optional[int] = None,
+    normalize_text: bool = False,
+    noise: Optional[np.ndarray] = None,
+    use_buckets: bool = True,
+) -> Tuple[np.ndarray, str, dict]:
+    """reference: inference.py:346-400. Returns (audio (B, 1, T), normalized
+    text, timing dict).
+
+    The no-speaker fallback is a zero latent (1, 4, 80) with an all-false
+    mask — NOT absence of the cache (reference: inference.py:375-381).
+    """
+    pc = tts.pipe_cfg
+    sc = sc or SamplerConfig()
+    timings = {}
+
+    t0 = time.perf_counter()
+    max_text = min(pad_to_max_text_length or pc.max_text_length, pc.max_text_length)
+    ids, text_mask, normalized = tok.get_text_input_ids_and_mask(
+        [text_prompt], max_length=max_text, normalize=normalize_text)
+    if pad_to_max_text_length is None and use_buckets:
+        # trim then bucket-pad for compile stability
+        n = int(text_mask.sum())
+        bucket = find_min_bucket_gte(pc.text_buckets, n)
+        ids = _pad_to(ids, bucket)
+        text_mask = _pad_to(text_mask, bucket)
+    timings["tokenize"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    if speaker_audio is None:
+        n = pad_to_max_speaker_latent_length or 4
+        speaker_latent = np.zeros((1, n, tts.dit_cfg.latent_size), np.float32)
+        speaker_mask = np.zeros((1, n), bool)
+    else:
+        speaker_latent, speaker_mask = get_speaker_latent_and_mask(
+            tts.ae_params, tts.ae_cfg, tts.pca, speaker_audio,
+            max_speaker_latent_length=(pad_to_max_speaker_latent_length
+                                       or pc.max_speaker_latent_length),
+            audio_chunk_latents=pc.audio_chunk_latents,
+            pad_to_max=pad_to_max_speaker_latent_length is not None)
+        if pad_to_max_speaker_latent_length is None and use_buckets:
+            bucket = find_min_bucket_gte(pc.speaker_buckets, speaker_latent.shape[1])
+            speaker_latent = _pad_to(speaker_latent, bucket)
+            speaker_mask = _pad_to(speaker_mask, bucket)
+    timings["speaker_encode"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    if noise is None:
+        noise = draw_noise(rng_seed, (1, sc.sequence_length, tts.dit_cfg.latent_size))
+    if sample_fn is None:
+        latents = sample_euler_cfg_independent_guidances(
+            tts.dit_params, tts.dit_cfg, sc,
+            jnp.asarray(speaker_latent), jnp.asarray(speaker_mask),
+            jnp.asarray(ids), jnp.asarray(text_mask),
+            jnp.asarray(noise), model_dtype=tts.model_dtype)
+    else:
+        latents = sample_fn(jnp.asarray(speaker_latent), jnp.asarray(speaker_mask),
+                            jnp.asarray(ids), jnp.asarray(text_mask), rng_seed)
+    latents.block_until_ready()
+    timings["sample"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    audio = ae_decode(tts.ae_params, tts.ae_cfg, tts.pca, latents)
+    audio = np.asarray(audio)
+    timings["vocoder"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    audio = crop_audio_to_flattening_point(audio, np.asarray(latents[0]),
+                                           samples_per_latent=tts.ae_cfg.frame_length)
+    timings["crop"] = time.perf_counter() - t0
+
+    return audio, normalized[0], timings
+
+
+def _pad_to(arr: np.ndarray, n: int) -> np.ndarray:
+    if arr.shape[1] >= n:
+        return arr[:, :n]
+    pad = [(0, 0)] * arr.ndim
+    pad[1] = (0, n - arr.shape[1])
+    return np.pad(arr, pad)
