@@ -141,10 +141,11 @@ def test_full_train_step_runs(setup):
     jb = {k: jnp.asarray(v.numpy()) for k, v in batch.items()}
     params2, opt_state, loss = step(params, opt_state, jax.random.PRNGKey(3), jb)
     assert np.isfinite(float(loss))
-    # params changed
-    l0 = jax.tree_util.tree_leaves(params)[5]
-    l1 = jax.tree_util.tree_leaves(params2)[5]
-    assert not np.allclose(np.asarray(l0), np.asarray(l1))
+    # some parameter must have moved
+    delta = sum(float(jnp.sum(jnp.abs(a - b)))
+                for a, b in zip(jax.tree_util.tree_leaves(params),
+                                jax.tree_util.tree_leaves(params2)))
+    assert delta > 0.0
 
 
 def test_lora_checkpoint_roundtrip(tmp_path, setup):
