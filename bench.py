@@ -1,0 +1,115 @@
+"""Headline benchmark: audio-seconds/s/chip for the full Echo-TTS pipeline —
+40-step dual-CFG Euler over 640 latents (~29.7 s audio) with full-bucket
+text (768) + speaker (6400-latent) conditioning, followed by S1-DAC vocoder
+decode (BASELINE.md north star; BASELINE config 2 shape).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "audio_s_per_s_per_chip", "vs_baseline": N}
+
+vs_baseline is the real-time factor (reference baseline = 1.0x real time,
+i.e. synthesis as fast as playback): no published reference numbers exist
+(BASELINE.md — `published: {}`), so real-time is the meaningful anchor.
+
+Weights are random-init at full scale (zero-egress environment, no HF
+access); FLOPs and memory traffic are identical to trained weights. Dtypes
+follow the reference's serving config (gradio_app.py:36-43): DiT bf16; AE
+bf16 (its documented low-VRAM serving mode, and the BASELINE config-5 bench
+setting).
+"""
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+
+from echo_tts_tpu.core.config import AEConfig, DiTConfig, SamplerConfig
+from echo_tts_tpu.models.dit import init_dit_params
+from echo_tts_tpu.models.pca import PCAState
+from echo_tts_tpu.models.s1dac import decode_zq
+from echo_tts_tpu.models import pca as pca_mod
+from echo_tts_tpu.sampling.euler_cfg import (
+    draw_noise,
+    sample_euler_cfg_independent_guidances,
+)
+from echo_tts_tpu.bench.init_ae import init_ae_params
+
+SEQ = 640
+TEXT = 768
+SPK = 6400
+STEPS = 40
+
+
+def main():
+    dit_cfg = DiTConfig(has_latent_modules=False)
+    ae_cfg = AEConfig()
+    sc = SamplerConfig(num_steps=STEPS, cfg_scale_text=3.0, cfg_scale_speaker=8.0,
+                       cfg_min_t=0.5, cfg_max_t=1.0, truncation_factor=0.8,
+                       sequence_length=SEQ)
+
+    key = jax.random.PRNGKey(0)
+    t0 = time.time()
+    dit_params = init_dit_params(key, dit_cfg, dtype=jnp.bfloat16)
+    ae_params = init_ae_params(jax.random.fold_in(key, 1), ae_cfg, dtype=jnp.bfloat16)
+    pca = PCAState.random()
+    print(f"# init {time.time()-t0:.1f}s", file=sys.stderr)
+
+    ks = jax.random.split(key, 3)
+    ids = jax.random.randint(ks[0], (1, TEXT), 0, 256)
+    text_mask = jnp.ones((1, TEXT), jnp.bool_)
+    speaker_latent = jax.random.normal(ks[1], (1, SPK, dit_cfg.latent_size),
+                                       dtype=jnp.float32)
+    speaker_mask = jnp.ones((1, SPK), jnp.bool_)
+    noise = draw_noise(0, (1, SEQ, dit_cfg.latent_size))
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("cfg",))
+    def vocoder(ae_params, cfg, pca, latents):
+        z_q = pca_mod.deproject(pca, latents)
+        return decode_zq(ae_params, cfg, z_q.astype(jnp.bfloat16))
+
+    def run():
+        lat = sample_euler_cfg_independent_guidances(
+            dit_params, dit_cfg, sc, speaker_latent, speaker_mask, ids,
+            text_mask, noise, model_dtype=jnp.bfloat16)
+        audio = vocoder(ae_params, ae_cfg, pca, lat)
+        audio.block_until_ready()
+        return lat, audio
+
+    t0 = time.time()
+    lat, audio = run()
+    print(f"# compile+first-run {time.time()-t0:.1f}s", file=sys.stderr)
+
+    times, sample_t, voc_t = [], [], []
+    for _ in range(3):
+        t0 = time.time()
+        lat = sample_euler_cfg_independent_guidances(
+            dit_params, dit_cfg, sc, speaker_latent, speaker_mask, ids,
+            text_mask, noise, model_dtype=jnp.bfloat16)
+        lat.block_until_ready()
+        t1 = time.time()
+        audio = vocoder(ae_params, ae_cfg, pca, lat)
+        audio.block_until_ready()
+        t2 = time.time()
+        sample_t.append(t1 - t0)
+        voc_t.append(t2 - t1)
+        times.append(t2 - t0)
+
+    wall = min(times)
+    audio_seconds = SEQ * ae_cfg.frame_length / ae_cfg.sample_rate  # 29.72 s
+    value = audio_seconds / wall
+    print(f"# sample {min(sample_t)*1e3:.0f}ms ({min(sample_t)*1e3/STEPS:.1f}ms/step), "
+          f"vocoder {min(voc_t)*1e3:.0f}ms, audio {audio.shape}", file=sys.stderr)
+    print(json.dumps({
+        "metric": "audio-seconds/s/chip, 40-step dual-CFG Euler @640 latents + S1-DAC decode",
+        "value": round(value, 3),
+        "unit": "audio_s_per_s_per_chip",
+        "vs_baseline": round(value / 1.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
