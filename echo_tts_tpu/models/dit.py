@@ -108,7 +108,8 @@ def _patch_encoder_forward(enc: dict, cfg: DiTConfig, latent):
 def _project_kv(blocks_attn: dict, state, wk_name: str, wv_name: str,
                 num_heads: int, eps: float):
     """Per-layer KV projections of an encoder state, stacked to
-    (L, B, S, H, Dh). k_norm is applied to keys, matching reference
+    (L, B, H, S, Dh) — head-major so the attention kernel reads (T, D) tiles
+    with no per-step transpose. k_norm is applied to keys, matching reference
     model.py:270-282 (no RoPE on text/speaker keys)."""
     b, s, _ = state.shape
 
@@ -117,6 +118,8 @@ def _project_kv(blocks_attn: dict, state, wk_name: str, wv_name: str,
         k = (state @ a[wk_name]).reshape(b, s, num_heads, hd)
         v = (state @ a[wv_name]).reshape(b, s, num_heads, hd)
         k = rms_norm(k, a["k_norm"], eps)
+        k = k.transpose(0, 2, 1, 3)
+        v = v.transpose(0, 2, 1, 3)
         return None, (k, v)
 
     sub = {wk_name: blocks_attn[wk_name], wv_name: blocks_attn[wv_name],
@@ -158,7 +161,7 @@ def get_kv_cache_latent(params: dict, cfg: DiTConfig, prefix_latent):
         v = (state @ a["wv_latent"]).reshape(b, s, cfg.num_heads, cfg.head_dim)
         k = rms_norm(k, a["k_norm"], cfg.norm_eps)
         k = apply_rope_half_heads(k, cos, sin)
-        return None, (k, v)
+        return None, (k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3))
 
     sub = {"wk_latent": attn["wk_latent"], "wv_latent": attn["wv_latent"],
            "k_norm": attn["k_norm"]}
@@ -178,28 +181,56 @@ def get_kv_cache_latent(params: dict, cfg: DiTConfig, prefix_latent):
 # the caches cuts KV HBM traffic 3x in the hot loop.
 
 
-def _joint_attention_grouped(q, k_self, v_self, ctx_k, ctx_v, ctx_mask):
-    """Segmented joint attention.
+# Joint-attention implementation selector:
+#   "auto"             — Pallas fused kernel on TPU when shapes align, else XLA
+#   "xla"              — einsum softmax (reference semantics, autodiff-friendly)
+#   "pallas"           — force the Pallas kernel (compiled)
+#   "pallas_interpret" — Pallas in interpreter mode (CPU kernel tests)
+_ATTN_IMPL = "auto"
 
-    q, k_self, v_self: (G, B, S, H, Dh) — self keys are per-group (x diverges
-    across CFG branches after layer 0). ctx_k/ctx_v: (B, T, H, Dh) shared
+
+def set_attention_impl(impl: str) -> None:
+    global _ATTN_IMPL
+    assert impl in ("auto", "xla", "pallas", "pallas_interpret"), impl
+    _ATTN_IMPL = impl
+
+
+def _pick_attention_impl(d: int) -> str:
+    if _ATTN_IMPL != "auto":
+        return _ATTN_IMPL
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    return "pallas" if (on_tpu and d % 128 == 0) else "xla"
+
+
+def _joint_attention_grouped(q, k_self, v_self, ctx_k, ctx_v, ctx_mask):
+    """Segmented joint attention, head-major layouts.
+
+    q, k_self, v_self: (G, B, H, S, Dh) — self keys are per-group (x diverges
+    across CFG branches after layer 0). ctx_k/ctx_v: (B, H, T, Dh) shared
     context (latent|text|speaker concat). ctx_mask: (G, B, T) bool.
     Self keys are always visible (reference: model.py:249). fp32 softmax.
-    Returns (G, B, S, H, Dh).
+    Returns (G, B, H, S, Dh).
     """
-    g, b, s, h, d = q.shape
+    impl = _pick_attention_impl(q.shape[-1])
+    if impl in ("pallas", "pallas_interpret"):
+        from echo_tts_tpu.ops.pallas_attention import joint_attention_grouped_pallas
+
+        return joint_attention_grouped_pallas(
+            q, k_self, v_self, ctx_k, ctx_v, ctx_mask,
+            interpret=(impl == "pallas_interpret"))
+    g, b, h, s, d = q.shape
     scale = 1.0 / jnp.sqrt(jnp.float32(d))
-    l_self = jnp.einsum("gbshd,gbthd->gbhst", q, k_self,
+    l_self = jnp.einsum("gbhsd,gbhtd->gbhst", q, k_self,
                         preferred_element_type=jnp.float32) * scale
-    l_ctx = jnp.einsum("gbshd,bthd->gbhst", q, ctx_k,
+    l_ctx = jnp.einsum("gbhsd,bhtd->gbhst", q, ctx_k,
                        preferred_element_type=jnp.float32) * scale
     l_ctx = jnp.where(ctx_mask[:, :, None, None, :], l_ctx, jnp.float32(-1e30))
     logits = jnp.concatenate([l_self, l_ctx], axis=-1)
     w = jax.nn.softmax(logits, axis=-1).astype(v_self.dtype)
     w_self, w_ctx = w[..., :s], w[..., s:]
-    out = jnp.einsum("gbhst,gbthd->gbshd", w_self, v_self,
+    out = jnp.einsum("gbhst,gbhtd->gbhsd", w_self, v_self,
                      preferred_element_type=jnp.float32)
-    out = out + jnp.einsum("gbhst,bthd->gbshd", w_ctx, ctx_v,
+    out = out + jnp.einsum("gbhst,bhtd->gbhsd", w_ctx, ctx_v,
                            preferred_element_type=jnp.float32)
     return out.astype(v_self.dtype)
 
@@ -237,7 +268,7 @@ def _dit_forward_grouped(
 
     kt_k, kt_v = kv_text
     ks_k, ks_v = kv_speaker
-    has_latent = kv_latent is not None and kv_latent[0].shape[2] > 0
+    has_latent = kv_latent is not None and kv_latent[0].shape[3] > 0
 
     if speaker_kv_scale is None:
         speaker_kv_scale = jnp.ones((cfg.num_layers,), dtype=jnp.float32)
@@ -261,16 +292,20 @@ def _dit_forward_grouped(
         k_self = rms_norm(k_self, a["k_norm"], eps)
         q = apply_rope_half_heads(q, cos_q, sin_q)
         k_self = apply_rope_half_heads(k_self, cos_q, sin_q)
+        # to head-major (G, B, H, S, Dh) for the attention kernel
+        q = q.transpose(0, 1, 3, 2, 4)
+        k_self = k_self.transpose(0, 1, 3, 2, 4)
+        v_self = v_self.transpose(0, 1, 3, 2, 4)
 
         if has_latent:
-            ctx_k = jnp.concatenate([per["kl_k"], per["kt_k"], per["ks_k"] * skv], axis=1)
-            ctx_v = jnp.concatenate([per["kl_v"], per["kt_v"], per["ks_v"] * skv], axis=1)
+            ctx_k = jnp.concatenate([per["kl_k"], per["kt_k"], per["ks_k"] * skv], axis=2)
+            ctx_v = jnp.concatenate([per["kl_v"], per["kt_v"], per["ks_v"] * skv], axis=2)
         else:
-            ctx_k = jnp.concatenate([per["kt_k"], per["ks_k"] * skv], axis=1)
-            ctx_v = jnp.concatenate([per["kt_v"], per["ks_v"] * skv], axis=1)
+            ctx_k = jnp.concatenate([per["kt_k"], per["ks_k"] * skv], axis=2)
+            ctx_v = jnp.concatenate([per["kt_v"], per["ks_v"] * skv], axis=2)
 
         o = _joint_attention_grouped(q, k_self, v_self, ctx_k, ctx_v, ctx_mask)
-        o = o.reshape(g, b, s, cfg.model_size)
+        o = o.transpose(0, 1, 3, 2, 4).reshape(g, b, s, cfg.model_size)
         o = o * jax.nn.sigmoid(gate)
         x = x + attn_gate * (o @ a["wo"])
 
@@ -311,9 +346,9 @@ def dit_forward(
     at start_pos (reference: model.py:229). latent_mask encodes the
     reference's `latent_pos < start_pos` key gating (model.py:243-244).
     """
-    has_latent = kv_latent is not None and kv_latent[0].shape[2] > 0
+    has_latent = kv_latent is not None and kv_latent[0].shape[3] > 0
     if has_latent and latent_mask is None:
-        latent_mask = jnp.ones((x.shape[0], kv_latent[0].shape[2]), dtype=jnp.bool_)
+        latent_mask = jnp.ones((x.shape[0], kv_latent[0].shape[3]), dtype=jnp.bool_)
     ctx_mask = build_ctx_mask(cfg, text_mask, speaker_mask,
                               latent_mask if has_latent else None)
     out = _dit_forward_grouped(
@@ -337,13 +372,13 @@ def dit_forward_cfg(
     nothing in their ablated segment but the caches carry conditional values.
     Returns fp32 (3, B, S, latent_size).
     """
-    has_latent = kv_latent is not None and kv_latent[0].shape[2] > 0
+    has_latent = kv_latent is not None and kv_latent[0].shape[3] > 0
     zeros_t = jnp.zeros_like(text_mask)
     zeros_s = jnp.zeros_like(speaker_mask)
     lm = None
     if has_latent:
         if latent_mask is None:
-            latent_mask = jnp.ones((x.shape[0], kv_latent[0].shape[2]), dtype=jnp.bool_)
+            latent_mask = jnp.ones((x.shape[0], kv_latent[0].shape[3]), dtype=jnp.bool_)
         lm = jnp.broadcast_to(latent_mask[None], (3,) + latent_mask.shape)
     text_m = jnp.stack([text_mask, zeros_t, text_mask])
     spk_m = jnp.stack([speaker_mask, speaker_mask, zeros_s])

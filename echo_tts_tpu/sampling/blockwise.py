@@ -44,7 +44,7 @@ def _sample_block(
 ):
     # latent-prefix KV over the full padded prefix; invalid tail masked
     kv_latent = get_kv_cache_latent(params, cfg, prefix_latent.astype(model_dtype))
-    n_lat = kv_latent[0].shape[2]
+    n_lat = kv_latent[0].shape[3]
     latent_positions = jnp.arange(n_lat) * cfg.speaker_patch_size
     latent_mask = (latent_positions[None, :] < start_pos)
     latent_mask = jnp.broadcast_to(latent_mask, (prefix_latent.shape[0], n_lat))

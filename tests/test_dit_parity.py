@@ -52,8 +52,11 @@ def test_kv_cache_text_parity(torch_and_jax):
 
     ks, vs = jdit.get_kv_cache_text(params, CFG, jnp.asarray(ids.numpy()),
                                     jnp.asarray(text_mask.numpy()))
-    np.testing.assert_allclose(np.asarray(ks), ref_k, atol=2e-5, rtol=1e-4)
-    np.testing.assert_allclose(np.asarray(vs), ref_v, atol=2e-5, rtol=1e-4)
+    # ours are head-major (L, B, H, S, Dh); reference is (L, B, S, H, Dh)
+    ks = np.asarray(ks).transpose(0, 1, 3, 2, 4)
+    vs = np.asarray(vs).transpose(0, 1, 3, 2, 4)
+    np.testing.assert_allclose(ks, ref_k, atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(vs, ref_v, atol=2e-5, rtol=1e-4)
 
 
 def test_kv_cache_speaker_parity(torch_and_jax):
@@ -66,7 +69,8 @@ def test_kv_cache_speaker_parity(torch_and_jax):
     ref_k = np.stack([k.numpy() for k, _ in ref])
 
     ks, vs = jdit.get_kv_cache_speaker(params, CFG, jnp.asarray(spk.numpy()))
-    np.testing.assert_allclose(np.asarray(ks), ref_k, atol=2e-5, rtol=1e-4)
+    ks = np.asarray(ks).transpose(0, 1, 3, 2, 4)
+    np.testing.assert_allclose(ks, ref_k, atol=2e-5, rtol=1e-4)
 
 
 def test_forward_parity(torch_and_jax):
@@ -118,7 +122,7 @@ def test_forward_with_latent_cache_and_start_pos(torch_and_jax):
 
     cos, sin = precompute_rope(CFG.head_dim, start_pos + 8)
     rope_q = (cos[start_pos:], sin[start_pos:])
-    n_lat = kvl[0].shape[2]
+    n_lat = kvl[0].shape[3]  # (L, B, H, T, Dh)
     latent_positions = np.arange(n_lat) * CFG.speaker_patch_size
     latent_mask = jnp.asarray((latent_positions < start_pos)[None].repeat(2, 0))
 
