@@ -1,0 +1,131 @@
+"""Checkpoint I/O: native pytree save/load plus reference-checkpoint loaders.
+
+Formats:
+  * .npz flat-key pytrees (dependency-free, used for LoRA and converted
+    weights) — dotted paths, lists encoded as numeric path components.
+  * Orbax (optional) for sharded multi-host checkpoints.
+  * Reference safetensors ingestion (reference: inference.py:14-135):
+    `pytorch_model.safetensors` for the DiT and the Fish S1-DAC, and
+    `pca_state.safetensors`, converted via checkpoints/convert.py with
+    weight-norm folding and optional blockwise-module stripping.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from echo_tts_tpu.core.config import AEConfig, DiTConfig
+from echo_tts_tpu.checkpoints import convert as cv
+
+SEP = "//"
+
+
+def _flatten(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{SEP}{k}" if prefix else str(k)))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(_flatten(v, f"{prefix}{SEP}{i}" if prefix else str(i)))
+    else:
+        out[prefix] = np.asarray(tree)
+    return out
+
+
+def _unflatten(flat: Dict[str, np.ndarray]) -> Any:
+    root: dict = {}
+    for key, val in flat.items():
+        parts = key.split(SEP)
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = val
+
+    def listify(node):
+        if not isinstance(node, dict):
+            return node
+        keys = list(node.keys())
+        if keys and all(k.isdigit() for k in keys):
+            return [listify(node[str(i)]) for i in range(len(keys))]
+        return {k: listify(v) for k, v in node.items()}
+
+    return listify(root)
+
+
+def save_pytree(path: str, tree: Any) -> None:
+    np.savez(path, **_flatten(jax.tree_util.tree_map(np.asarray, tree)))
+
+
+def load_pytree(path: str, dtype=None) -> Any:
+    z = np.load(path)
+    flat = {k: z[k] for k in z.files}
+    tree = _unflatten(flat)
+    if dtype is not None:
+        tree = jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype), tree)
+    return tree
+
+
+# ---------------------------------------------------------------------------
+# Reference-format loaders (mirror inference.py:14-135 entry points)
+# ---------------------------------------------------------------------------
+
+
+def load_dit_from_safetensors(
+    path: str,
+    cfg: Optional[DiTConfig] = None,
+    dtype=jnp.bfloat16,
+    delete_blockwise_modules: bool = False,
+) -> Tuple[dict, DiTConfig]:
+    """reference: inference.py:14-69 `load_model_from_hf` (file already
+    downloaded; this env has no egress)."""
+    import dataclasses
+
+    if cfg is None:
+        cfg = DiTConfig()
+    cfg = dataclasses.replace(
+        cfg, has_latent_modules=cfg.has_latent_modules and not delete_blockwise_modules)
+    state = cv.load_safetensors(path)
+    params = cv.convert_dit_state(state, cfg)
+    params = jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype), params)
+    return params, cfg
+
+
+def load_ae_from_safetensors(
+    path: str,
+    cfg: Optional[AEConfig] = None,
+    dtype=jnp.float32,
+) -> Tuple[dict, AEConfig]:
+    """reference: inference.py:80-105 `load_fish_ae_from_hf`; folds
+    weight-norm parametrizations at conversion (SURVEY.md §5.4)."""
+    cfg = cfg or AEConfig()
+    state = cv.fold_weight_norm(cv.load_safetensors(path))
+    params = cv.convert_ae_state(state, cfg)
+    params = jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype), params)
+    return params, cfg
+
+
+def maybe_hf_download(repo_id: str, filename: str, token: Optional[str] = None) -> str:
+    """HF hub fetch when network + huggingface_hub are available; raises a
+    clear error otherwise (this build environment is zero-egress)."""
+    try:
+        from huggingface_hub import hf_hub_download
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError("huggingface_hub not installed") from e
+    return hf_hub_download(repo_id, filename, token=token)
+
+
+def save_orbax(path: str, tree: Any) -> None:  # pragma: no cover - optional dep
+    import orbax.checkpoint as ocp
+
+    ocp.StandardCheckpointer().save(path, tree, force=True)
+
+
+def load_orbax(path: str, like: Any = None) -> Any:  # pragma: no cover
+    import orbax.checkpoint as ocp
+
+    ckpt = ocp.StandardCheckpointer()
+    return ckpt.restore(path, args=ocp.args.StandardRestore(like) if like is not None else None)

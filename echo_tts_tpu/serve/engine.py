@@ -1,0 +1,89 @@
+"""Serving engine: model singletons, LoRA hot-swap, shape-bucket discipline,
+request serialization and utterance-level retry.
+
+Replaces the reference's Gradio-global mutable state (reference:
+gradio_app.py:60-69,169-226,258) with a locked engine object:
+  * single-writer discipline — one lock around device work (the reference
+    mutates globals per-request without locks, a latent race under concurrent
+    sessions; SURVEY.md §5.2),
+  * LoRA swap is functional: effective params are a merged COPY, the base is
+    immutable (no torch-module surgery to undo — gradio_app.py:169-226),
+  * utterance-level retry: sampling is stateless per request, so recovery
+    from a transient device failure is resubmission (SURVEY.md §5.3).
+"""
+from __future__ import annotations
+
+import logging
+import threading
+import time
+from typing import Optional
+
+import numpy as np
+
+from echo_tts_tpu.core.config import SamplerConfig
+from echo_tts_tpu.pipeline.pipeline import EchoTTS, sample_pipeline
+from echo_tts_tpu.train.lora import LoRAConfig, load_lora_checkpoint, merge_lora
+
+log = logging.getLogger("echo_tts_tpu.serve")
+
+
+class Engine:
+    def __init__(self, tts: EchoTTS, max_retries: int = 1):
+        self._base_params = tts.dit_params
+        self.tts = tts
+        self.max_retries = max_retries
+        self._lock = threading.Lock()
+        self._current_lora_path: Optional[str] = None
+        self.stats = {"requests": 0, "failures": 0, "retries": 0,
+                      "total_sample_s": 0.0, "total_audio_s": 0.0}
+
+    # -- LoRA hot-swap (reference: gradio_app.py:169-226) -------------------
+    def set_lora(self, lora_path: Optional[str], strength: float = 1.0) -> None:
+        with self._lock:
+            if lora_path == self._current_lora_path:
+                return
+            if lora_path is None:
+                self.tts.dit_params = self._base_params
+            else:
+                lora, lc = load_lora_checkpoint(lora_path)
+                if strength != 1.0:
+                    import dataclasses
+
+                    lc = dataclasses.replace(lc, alpha=lc.alpha * strength)
+                self.tts.dit_params = merge_lora(self._base_params, lora, lc)
+            self._current_lora_path = lora_path
+
+    # -- generation ---------------------------------------------------------
+    def generate(
+        self,
+        text: str,
+        speaker_audio: Optional[np.ndarray],
+        seed: int = 0,
+        sc: Optional[SamplerConfig] = None,
+        normalize_text: bool = True,
+    ):
+        """Returns (audio (1, 1, T) float32, normalized_text, timings)."""
+        sc = sc or SamplerConfig()
+        last_err = None
+        for attempt in range(self.max_retries + 1):
+            try:
+                with self._lock:
+                    t0 = time.perf_counter()
+                    audio, normalized, timings = sample_pipeline(
+                        self.tts, text, speaker_audio, seed, sc=sc,
+                        normalize_text=normalize_text)
+                    wall = time.perf_counter() - t0
+                self.stats["requests"] += 1
+                self.stats["total_sample_s"] += wall
+                self.stats["total_audio_s"] += audio.shape[-1] / self.tts.ae_cfg.sample_rate
+                timings["total"] = wall
+                return audio, normalized, timings
+            except Exception as e:  # pragma: no cover - device-failure path
+                last_err = e
+                self.stats["retries"] += 1
+                log.warning("generate attempt %d failed: %s", attempt, e)
+        self.stats["failures"] += 1
+        raise RuntimeError(f"generation failed after {self.max_retries + 1} attempts") from last_err
+
+    def health(self) -> dict:
+        return {"status": "ok", "lora": self._current_lora_path, **self.stats}

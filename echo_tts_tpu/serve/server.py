@@ -1,0 +1,140 @@
+"""Dependency-free HTTP TTS server (stdlib only).
+
+The reference serves through Gradio (reference: gradio_app.py); Gradio is not
+in this image, so the primary serving surface is a small JSON/WAV HTTP API on
+`http.server` with the same capabilities: sampler presets, force-speaker
+controls, LoRA hot-swap, seeded generation, AE-reconstruction audition. A
+Gradio front-end (serve/gradio_app.py) wraps the same Engine when gradio is
+installed.
+
+Endpoints:
+  GET  /health                         -> engine stats
+  GET  /presets                        -> sampler preset dict
+  POST /lora   {"path": ..., "strength": ...}  (null path reverts to base)
+  POST /tts    {"text": ..., "preset": or sampler fields, "seed": int,
+                "speaker_wav_b64": base64 WAV bytes (optional),
+                "speaker_path": server-side path (optional)}
+       -> audio/wav bytes (reference wav-save path: gradio_app.py:376-408)
+"""
+from __future__ import annotations
+
+import base64
+import io
+import json
+import tempfile
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, Optional
+
+import numpy as np
+
+from echo_tts_tpu.core.config import SamplerConfig
+from echo_tts_tpu.pipeline.audio_io import load_audio, write_wav
+from echo_tts_tpu.serve.engine import Engine
+from echo_tts_tpu.serve.presets import DEFAULT_SAMPLER_PRESETS
+
+
+def _wav_bytes(audio: np.ndarray, sr: int) -> bytes:
+    import os
+
+    with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as f:
+        path = f.name
+    try:
+        write_wav(path, audio, sr)
+        with open(path, "rb") as f:
+            return f.read()
+    finally:
+        os.unlink(path)
+
+
+def make_handler(engine: Engine, presets: Dict[str, SamplerConfig]):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _json(self, code: int, obj) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._json(200, engine.health())
+            elif self.path == "/presets":
+                self._json(200, {k: v.__dict__ if isinstance(v, SamplerConfig)
+                                 else v for k, v in presets.items()})
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            try:
+                req = json.loads(self.rfile.read(n) or b"{}")
+            except json.JSONDecodeError:
+                return self._json(400, {"error": "bad json"})
+
+            if self.path == "/lora":
+                try:
+                    engine.set_lora(req.get("path"), float(req.get("strength", 1.0)))
+                    return self._json(200, {"ok": True})
+                except Exception as e:
+                    return self._json(400, {"error": str(e)})
+
+            if self.path != "/tts":
+                return self._json(404, {"error": "not found"})
+
+            try:
+                text = req["text"]
+                seed = int(req.get("seed", 0))
+                if "preset" in req:
+                    sc = presets[req["preset"]]
+                    if not isinstance(sc, SamplerConfig):
+                        sc = SamplerConfig.from_preset(sc)
+                else:
+                    fields = {k: v for k, v in req.items()
+                              if k in SamplerConfig.__dataclass_fields__}
+                    sc = SamplerConfig.from_preset(fields) if fields else SamplerConfig()
+
+                speaker = None
+                if req.get("speaker_wav_b64"):
+                    raw = base64.b64decode(req["speaker_wav_b64"])
+                    with tempfile.NamedTemporaryFile(suffix=".wav") as f:
+                        f.write(raw)
+                        f.flush()
+                        speaker = load_audio(f.name)
+                elif req.get("speaker_path"):
+                    speaker = load_audio(req["speaker_path"])
+
+                audio, normalized, timings = engine.generate(
+                    text, speaker, seed=seed, sc=sc,
+                    normalize_text=bool(req.get("normalize_text", True)))
+                wav = _wav_bytes(audio[0], engine.tts.ae_cfg.sample_rate)
+                self.send_response(200)
+                self.send_header("Content-Type", "audio/wav")
+                self.send_header("Content-Length", str(len(wav)))
+                self.send_header("X-Normalized-Text",
+                                 base64.b64encode(normalized.encode()).decode())
+                self.send_header("X-Timings", json.dumps(
+                    {k: round(v, 4) for k, v in timings.items()}))
+                self.end_headers()
+                self.wfile.write(wav)
+            except Exception as e:
+                self._json(500, {"error": str(e)})
+
+    return Handler
+
+
+def serve(engine: Engine, host: str = "127.0.0.1", port: int = 7860,
+          presets: Optional[Dict[str, SamplerConfig]] = None,
+          background: bool = False) -> ThreadingHTTPServer:
+    presets = presets or {k: SamplerConfig.from_preset(v)
+                          for k, v in DEFAULT_SAMPLER_PRESETS.items()}
+    httpd = ThreadingHTTPServer((host, port), make_handler(engine, presets))
+    if background:
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        return httpd
+    httpd.serve_forever()
+    return httpd

@@ -1,0 +1,77 @@
+"""Serving-layer tests: engine generation + LoRA hot-swap + HTTP round-trip
+on a tiny model (reference serve surface: gradio_app.py:229-430)."""
+import base64
+import json
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from echo_tts_tpu.core.config import SamplerConfig
+from echo_tts_tpu.serve.engine import Engine
+from echo_tts_tpu.serve.server import serve
+from echo_tts_tpu.train.lora import LoRAConfig, init_lora, save_lora_checkpoint
+
+from test_pipeline_parity import tiny_tts  # fixture reuse  # noqa: F401
+
+
+@pytest.fixture(scope="module")
+def engine(tiny_tts):  # noqa: F811
+    _, _, tts = tiny_tts
+    return Engine(tts)
+
+
+SC = SamplerConfig(num_steps=2, sequence_length=16, truncation_factor=0.8)
+
+
+def test_engine_generate(engine):
+    audio, normalized, timings = engine.generate("Hello world.", None, seed=1, sc=SC)
+    assert audio.ndim == 3 and audio.shape[1] == 1
+    assert np.isfinite(audio).all()
+    assert normalized.startswith("[S1] ")
+    assert engine.health()["requests"] == 1
+
+
+def test_engine_lora_swap(engine, tmp_path):
+    lc = LoRAConfig(rank=2)
+    lora = init_lora(jax.random.PRNGKey(0), engine._base_params, lc)
+    # make B nonzero so the swap changes outputs
+    tgt = "blocks.attention.wq"
+    lora[tgt]["b"] = jnp.ones_like(lora[tgt]["b"]) * 0.1
+    p = str(tmp_path / "l.npz")
+    save_lora_checkpoint(p, lora, lc)
+
+    a_base, _, _ = engine.generate("Swap test.", None, seed=2, sc=SC)
+    engine.set_lora(p)
+    a_lora, _, _ = engine.generate("Swap test.", None, seed=2, sc=SC)
+    engine.set_lora(None)
+    a_back, _, _ = engine.generate("Swap test.", None, seed=2, sc=SC)
+
+    assert not np.allclose(a_base, a_lora)
+    np.testing.assert_allclose(a_base, a_back, atol=1e-6)
+
+
+def test_http_server_roundtrip(engine):
+    httpd = serve(engine, port=0, background=True)
+    port = httpd.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    try:
+        health = json.loads(urllib.request.urlopen(f"{base}/health").read())
+        assert health["status"] == "ok"
+
+        body = json.dumps({"text": "HTTP test.", "seed": 3,
+                           "num_steps": 2, "sequence_length": 16}).encode()
+        req = urllib.request.Request(f"{base}/tts", data=body,
+                                     headers={"Content-Type": "application/json"})
+        resp = urllib.request.urlopen(req)
+        wav = resp.read()
+        assert wav[:4] == b"RIFF"
+        normalized = base64.b64decode(resp.headers["X-Normalized-Text"]).decode()
+        assert "HTTP test." in normalized
+        timings = json.loads(resp.headers["X-Timings"])
+        assert "sample" in timings and "vocoder" in timings
+    finally:
+        httpd.shutdown()
