@@ -380,3 +380,35 @@ def decode_zq(params: dict, cfg: AEConfig, z_q: jnp.ndarray) -> jnp.ndarray:
     z = _q_transformer(params, cfg, "post_module", z_q)
     z = _upsample(params, cfg, z)
     return decoder_forward(params, cfg, z)
+
+
+def decode_zq_streaming(params: dict, cfg: AEConfig, z_q: jnp.ndarray,
+                        chunk_frames: int = 64,
+                        context_frames: Optional[int] = None):
+    """Streamed causal decode: yields waveform chunks as z_q frames arrive.
+
+    The whole decode path is causal (reference: autoencoder.py:1187
+    causal=True; README:122-124 cites streaming as the purpose), so a chunk's
+    samples depend only on LEFT context. Each chunk is decoded from a window
+    [start-context, start+chunk) and the last chunk*frame_length samples are
+    emitted — bit-identical to the full decode once `context_frames` covers
+    the receptive field (post-transformer window q_window_size z_q frames +
+    the conv stack's tail; verified vs full decode in tests).
+
+    After the first ~context/chunk chunks the window size is constant, so one
+    compiled executable serves the steady state (a handful of smaller shapes
+    compile during ramp-up; left-padding with zero FRAMES instead would not
+    be exact — zero frames still attend/convolve, unlike each causal layer's
+    internal left-pad). This is the blockwise/continuation streaming path
+    (BASELINE config 4).
+    """
+    if context_frames is None:
+        # window-limited post transformer dominates the receptive field
+        context_frames = cfg.q_window_size + 32
+    b, d, t = z_q.shape
+    for start in range(0, t, chunk_frames):
+        end = min(start + chunk_frames, t)
+        lo = max(0, start - context_frames)
+        audio = decode_zq(params, cfg, z_q[:, :, lo:end])
+        n_out = (end - start) * cfg.frame_length
+        yield audio[:, :, -n_out:]
