@@ -1,0 +1,160 @@
+"""Training data pipeline (reference: train_utils.py:35-274).
+
+Host-side, framework-free: latents are pre-encoded once through the AE and
+cached (the reference caches on CPU per file, train_utils.py:133-194), then
+batches are zero-padded numpy with boolean masks. Batches are padded to
+shape buckets so the jitted train step compiles once per bucket.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from echo_tts_tpu.core.config import AEConfig
+from echo_tts_tpu.models.pca import PCAState
+from echo_tts_tpu.pipeline.audio_io import load_audio
+from echo_tts_tpu.pipeline.speaker import ae_encode, get_speaker_latent_and_mask
+from echo_tts_tpu.pipeline.tokenizer import get_text_input_ids_and_mask
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass
+class TrainingSample:
+    """reference: train_utils.py:35-41."""
+
+    audio_path: str
+    text: str
+    speaker_audio_path: Optional[str] = None  # None -> same file as speaker ref
+
+
+class EchoTTSDataset:
+    """Pre-encoding dataset (reference: train_utils.py:86-238): target audio
+    -> 80-d latents; speaker ref = first 30 s of the (same) file."""
+
+    def __init__(
+        self,
+        samples: List[TrainingSample],
+        ae_params: dict,
+        ae_cfg: AEConfig,
+        pca: PCAState,
+        max_latent_length: Optional[int] = None,
+        speaker_max_duration: float = 30.0,
+    ):
+        self.samples = samples
+        self.max_latent_length = max_latent_length
+        self.latent_cache: Dict[str, np.ndarray] = {}
+        self.speaker_cache: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
+
+        for s in samples:
+            if s.audio_path not in self.latent_cache:
+                audio = load_audio(s.audio_path)
+                if max_latent_length is not None:
+                    audio = audio[:, : max_latent_length * ae_cfg.frame_length]
+                lat = np.asarray(ae_encode(ae_params, ae_cfg, pca,
+                                           jnp.asarray(audio[None])))
+                if max_latent_length is not None:
+                    lat = lat[:, :max_latent_length]
+                self.latent_cache[s.audio_path] = lat[0]
+
+            sp = s.speaker_audio_path or s.audio_path
+            if sp not in self.speaker_cache:
+                audio = load_audio(sp, max_duration=speaker_max_duration)
+                slat, smask = get_speaker_latent_and_mask(
+                    ae_params, ae_cfg, pca, audio)
+                self.speaker_cache[sp] = (slat[0], smask[0])
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+    def __getitem__(self, idx: int) -> dict:
+        s = self.samples[idx]
+        sp = s.speaker_audio_path or s.audio_path
+        slat, smask = self.speaker_cache[sp]
+        return {"latent": self.latent_cache[s.audio_path], "text": s.text,
+                "speaker_latent": slat, "speaker_mask": smask}
+
+
+def _bucket(n: int, granularity: int = 64) -> int:
+    return max(granularity, -(-n // granularity) * granularity)
+
+
+def collate(items: List[dict], max_text_length: int = 768,
+            bucket_granularity: int = 64) -> Dict[str, np.ndarray]:
+    """Zero-pad + mask collate (reference: train_utils.py:241-274), with
+    bucket-rounded lengths for compile stability."""
+    d = items[0]["latent"].shape[-1]
+    t_max = _bucket(max(i["latent"].shape[0] for i in items), bucket_granularity)
+    s_max = _bucket(max(i["speaker_latent"].shape[0] for i in items),
+                    bucket_granularity)
+    n = len(items)
+
+    latents = np.zeros((n, t_max, d), np.float32)
+    latent_mask = np.zeros((n, t_max), bool)
+    spk = np.zeros((n, s_max, d), np.float32)
+    spk_mask = np.zeros((n, s_max), bool)
+    for i, it in enumerate(items):
+        tl = it["latent"].shape[0]
+        latents[i, :tl] = it["latent"]
+        latent_mask[i, :tl] = True
+        sl = it["speaker_latent"].shape[0]
+        spk[i, :sl] = it["speaker_latent"]
+        spk_mask[i, :sl] = it["speaker_mask"]
+
+    ids, text_mask, _ = get_text_input_ids_and_mask(
+        [it["text"] for it in items], max_length=max_text_length, normalize=False)
+
+    return {"latent": latents, "latent_mask": latent_mask,
+            "text_input_ids": ids, "text_mask": text_mask,
+            "speaker_latent": spk, "speaker_mask": spk_mask}
+
+
+def batches(dataset: EchoTTSDataset, batch_size: int, rng: np.random.Generator,
+            **collate_kw):
+    """Shuffled epoch iterator."""
+    order = rng.permutation(len(dataset))
+    for i in range(0, len(order) - batch_size + 1, batch_size):
+        yield collate([dataset[j] for j in order[i : i + batch_size]], **collate_kw)
+
+
+AUDIO_EXTENSIONS = (".wav", ".mp3", ".flac", ".ogg", ".m4a")
+
+
+def prepare_samples_from_directory(
+    audio_dir: str,
+    transcriptions: Optional[Dict[str, str]] = None,
+    extensions: Tuple[str, ...] = AUDIO_EXTENSIONS,
+) -> List[TrainingSample]:
+    """reference: train_utils.py:811-854."""
+    files: List[Path] = []
+    for ext in extensions:
+        files.extend(Path(audio_dir).glob(f"*{ext}"))
+        files.extend(Path(audio_dir).glob(f"*{ext.upper()}"))
+    out = []
+    for p in sorted(set(files)):
+        text = (transcriptions or {}).get(str(p))
+        if text is not None:
+            out.append(TrainingSample(audio_path=str(p), text=text))
+    return out
+
+
+def transcribe_audio_files(audio_paths: List[str], model_name: str = "openai/whisper-base",
+                           language: str = "en") -> Dict[str, str]:
+    """ASR transcription via transformers (the reference shells to Whisper /
+    Parakeet, train_utils.py:551-803). Requires model weights locally; adds
+    the `[S1]` prefix the tokenizer expects."""
+    from transformers import pipeline as hf_pipeline  # pragma: no cover
+
+    asr = hf_pipeline("automatic-speech-recognition", model=model_name)
+    out = {}
+    for p in audio_paths:
+        text = asr(p)["text"].strip()
+        if text and not text.startswith("[") and "S1" not in text:
+            text = "[S1] " + text
+        if text:
+            out[p] = text
+    return out
