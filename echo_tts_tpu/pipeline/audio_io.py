@@ -48,15 +48,26 @@ def write_wav(path: str, audio: np.ndarray, sample_rate: int = 44100) -> None:
 
 def resample(audio: np.ndarray, sr_from: int, sr_to: int) -> np.ndarray:
     """Polyphase resampling on the last axis (matches torchaudio's
-    sinc-interpolation family; host CPU)."""
+    sinc-interpolation family; host CPU). Uses the native C++ upfirdn core
+    (echo_tts_tpu/native) when built, scipy otherwise — both match
+    scipy.signal.resample_poly's kaiser(5.0) design to ~1e-7."""
     if sr_from == sr_to:
         return audio
+    try:
+        from echo_tts_tpu.native.resample_py import resample_native
+
+        out = resample_native(audio, sr_from, sr_to)
+        if out is not None:
+            return out.astype(np.float32)
+    except Exception:
+        pass
     from math import gcd
 
     from scipy.signal import resample_poly
 
     g = gcd(sr_from, sr_to)
-    return resample_poly(audio, sr_to // g, sr_from // g, axis=-1).astype(np.float32)
+    return resample_poly(audio, sr_to // g, sr_from // g, axis=-1,
+                         window=("kaiser", 5.0)).astype(np.float32)
 
 
 def load_audio(path: str, max_duration: float = 300.0,
