@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Serve entry point: load checkpoints, start the HTTP API (and the Gradio UI
+when installed). reference analogue: `python gradio_app.py`.
+
+Usage:
+  python scripts/serve.py --dit dit.safetensors --ae ae.safetensors \
+      --pca pca.safetensors [--port 7860] [--ae-bf16] [--gradio]
+Random-weight smoke mode (no checkpoints): --random-tiny
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dit")
+    ap.add_argument("--ae")
+    ap.add_argument("--pca")
+    ap.add_argument("--port", type=int, default=7860)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--ae-bf16", action="store_true",
+                    help="bf16 AE (reference low-VRAM mode, gradio_app.py:36-38)")
+    ap.add_argument("--keep-blockwise", action="store_true")
+    ap.add_argument("--gradio", action="store_true")
+    ap.add_argument("--presets", default="sampler_presets.json")
+    ap.add_argument("--random-tiny", action="store_true")
+    args = ap.parse_args()
+
+    from echo_tts_tpu.core.config import AEConfig, DiTConfig, PipelineConfig
+    from echo_tts_tpu.models.pca import PCAState
+    from echo_tts_tpu.pipeline.pipeline import EchoTTS
+    from echo_tts_tpu.serve.engine import Engine
+    from echo_tts_tpu.serve.presets import load_sampler_presets
+    from echo_tts_tpu.serve.server import serve
+
+    if args.random_tiny:
+        from echo_tts_tpu.bench.init_ae import init_ae_params
+        from echo_tts_tpu.models.dit import init_dit_params
+
+        dit_cfg = DiTConfig().tiny()
+        ae_cfg = AEConfig().tiny()
+        tts = EchoTTS(
+            init_dit_params(jax.random.PRNGKey(0), dit_cfg, jnp.float32), dit_cfg,
+            init_ae_params(jax.random.PRNGKey(1), ae_cfg), ae_cfg,
+            PCAState.random(latent_dim=ae_cfg.latent_dim, out_dim=dit_cfg.latent_size),
+            model_dtype=jnp.float32,
+            pipe_cfg=PipelineConfig(max_text_length=64, text_buckets=(64,),
+                                    speaker_buckets=(16, 32), audio_chunk_latents=16))
+    else:
+        from echo_tts_tpu.checkpoints.io import (
+            load_ae_from_safetensors, load_dit_from_safetensors)
+
+        dit_params, dit_cfg = load_dit_from_safetensors(
+            args.dit, delete_blockwise_modules=not args.keep_blockwise)
+        ae_params, ae_cfg = load_ae_from_safetensors(
+            args.ae, dtype=jnp.bfloat16 if args.ae_bf16 else jnp.float32)
+        tts = EchoTTS(dit_params, dit_cfg, ae_params, ae_cfg,
+                      PCAState.from_safetensors(args.pca))
+
+    engine = Engine(tts)
+    presets = load_sampler_presets(args.presets) if os.path.exists(
+        args.presets) or not args.random_tiny else None
+
+    if args.gradio:
+        from echo_tts_tpu.serve.gradio_app import build_app
+
+        build_app(engine, presets).launch(server_name=args.host,
+                                          server_port=args.port)
+    else:
+        print(f"HTTP TTS API on http://{args.host}:{args.port}")
+        serve(engine, host=args.host, port=args.port, presets=presets)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,72 @@
+"""Observability + resilience tests: phase timers, speed-of-light model,
+weak-scaling harness on the simulated mesh, and fault-injected retry in the
+serving engine (SURVEY.md §5.1, §5.3, §5.5)."""
+import numpy as np
+import pytest
+
+from echo_tts_tpu.core.config import DiTConfig, SamplerConfig
+from echo_tts_tpu.bench.scaling import run_weak_scaling
+from echo_tts_tpu.utils.profiling import PhaseTimer, speed_of_light
+
+
+def test_phase_timer():
+    t = PhaseTimer()
+    with t.phase("a"):
+        pass
+    with t.phase("a"):
+        pass
+    with t.phase("b"):
+        pass
+    d = t.as_dict()
+    assert set(d) == {"a", "b"} and t.counts["a"] == 2
+    assert isinstance(t.json(), str)
+
+
+def test_speed_of_light_model():
+    cfg = DiTConfig(has_latent_modules=False)
+    sol = speed_of_light(cfg, batch=3, seq=640, ctx=2368)
+    # trunk is ~1.9B params at 2 bytes: weights floor ~4.7 ms; 3x640 tokens
+    # compute floor tens of ms on v5e
+    assert 2.0 < sol["t_weights_ms"] < 10.0
+    assert 10.0 < sol["t_compute_ms"] < 100.0
+    assert sol["floor_ms"] == max(sol["t_compute_ms"], sol["t_weights_ms"])
+
+
+def test_weak_scaling_sim_mesh():
+    res = run_weak_scaling(max_devices=4, repeats=1)
+    assert res["devices"] == 4
+    assert res["utt_per_s_dpN"] > 0
+    # CPU simulation shares cores, so no efficiency bar here — the harness
+    # contract (it runs, reports sane numbers) is what CI checks
+    assert 0 < res["weak_scaling_efficiency"]
+
+
+def test_engine_retry_on_transient_failure(monkeypatch):
+    from test_pipeline_parity import tiny_tts  # noqa: F401  (fixture import)
+    import echo_tts_tpu.serve.engine as eng_mod
+    from echo_tts_tpu.serve.engine import Engine
+
+    # build a minimal fake tts via monkeypatched sample_pipeline
+    calls = {"n": 0}
+
+    def flaky_pipeline(tts, text, speaker, seed, sc=None, normalize_text=True):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("transient device failure")
+        return np.zeros((1, 1, 256), np.float32), "[S1] " + text, {"sample": 0.0,
+                                                                   "vocoder": 0.0}
+
+    monkeypatch.setattr(eng_mod, "sample_pipeline", flaky_pipeline)
+
+    class FakeAECfg:
+        sample_rate = 44100
+
+    class FakeTTS:
+        dit_params = {}
+        ae_cfg = FakeAECfg()
+
+    e = Engine(FakeTTS(), max_retries=1)
+    audio, text, timings = e.generate("retry test", None,
+                                      sc=SamplerConfig(num_steps=1))
+    assert calls["n"] == 2
+    assert e.stats["retries"] == 1 and e.stats["failures"] == 0
