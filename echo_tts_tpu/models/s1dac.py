@@ -374,6 +374,77 @@ def encode_zq(params: dict, cfg: AEConfig, audio: jnp.ndarray) -> jnp.ndarray:
     return codes_to_zq(params, cfg, encode_codes(params, cfg, audio))
 
 
+def decode_codes(params: dict, cfg: AEConfig, codes: jnp.ndarray) -> jnp.ndarray:
+    """Full codec decode: code indices -> waveform
+    (reference: autoencoder.py:1102-1114, 486-496)."""
+    return decode_zq(params, cfg, codes_to_zq(params, cfg, codes))
+
+
+def get_output_length(cfg: AEConfig, input_length: int) -> int:
+    """Encoder frame count before quantizer downsample
+    (reference: autoencoder.py:1046-1050)."""
+    length = input_length
+    for stride in cfg.encoder_rates:
+        length = -(-length // stride)
+    return length
+
+
+def get_delay(cfg: AEConfig) -> int:
+    """Analytic codec latency in samples (reference: autoencoder.py:1052-1068).
+
+    Walks the conv stack in reverse accumulating receptive extent, exactly
+    the reference's formula over (kernel, stride, dilation) triples."""
+    import math as _math
+
+    # (kind, k, s, d) in module order: encoder then decoder, as
+    # nn.Module.modules() traverses them in the reference DAC
+    layers = []
+
+    def conv(k, s=1, d=1):
+        layers.append(("conv", k, s, d))
+
+    def tconv(k, s):
+        layers.append(("tconv", k, s, 1))
+
+    conv(7)  # encoder stem
+    for stride in cfg.encoder_rates:
+        for dil in (1, 3, 9):
+            conv(7, 1, dil)
+            conv(1)
+        conv(2 * stride, stride)
+    conv(3)  # encoder head
+    # quantizer convs, in torch modules() registration order
+    # (semantic VQ, residual VQs, downsample, upsample)
+    conv(1)  # semantic in_proj
+    conv(1)  # semantic out_proj
+    for _ in range(cfg.n_codebooks):
+        conv(1)
+        conv(1)
+    for f in cfg.downsample_factor:
+        conv(f, f)
+        conv(7)  # convnext dwconv
+    for f in reversed(cfg.downsample_factor):
+        tconv(f, f)
+        conv(7)  # convnext dwconv
+    conv(7)  # decoder stem
+    for i, stride in enumerate(cfg.decoder_rates):
+        tconv(2 * stride, stride)
+        for dil in (1, 3, 9):
+            conv(7, 1, dil)
+            conv(1)
+    conv(7)  # decoder head
+
+    l_out = get_output_length(cfg, 0)
+    L = l_out
+    for kind, k, s, d in reversed(layers):
+        if kind == "tconv":
+            L = (L - d * (k - 1) - 1) / s + 1
+        else:
+            L = (L - 1) * s + d * (k - 1) + 1
+        L = _math.ceil(L)
+    return (L - l_out) // 2
+
+
 def decode_zq(params: dict, cfg: AEConfig, z_q: jnp.ndarray) -> jnp.ndarray:
     """z_q (B, latent_dim, T) -> waveform (reference: autoencoder.py:1128-1132):
     post_module -> upsample -> decoder."""

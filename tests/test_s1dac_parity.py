@@ -118,6 +118,24 @@ def test_decode_zq_parity(setup):
     np.testing.assert_allclose(np.asarray(out), ref, atol=5e-5, rtol=1e-3)
 
 
+def test_decode_codes_parity(setup):
+    import torch
+
+    dac, params, audio = setup
+    with torch.no_grad():
+        codes, lens = dac.encode(audio)
+        ref, _ = dac.decode(codes, lens)
+    out = s1dac.decode_codes(params, CFG, jnp.asarray(codes.numpy()))
+    np.testing.assert_allclose(np.asarray(out), ref.numpy(), atol=5e-5, rtol=1e-3)
+
+
+def test_get_delay_and_output_length(setup):
+    dac, params, audio = setup
+    assert s1dac.get_delay(CFG) == dac.get_delay()
+    for n in (0, 100, 1000):
+        assert s1dac.get_output_length(CFG, n) == dac.get_output_length(n)
+
+
 def test_hop_and_frame_length(setup):
     dac, params, audio = setup
     assert dac.hop_length == CFG.hop_length
