@@ -202,12 +202,17 @@ def _pick_attention_impl(d: int) -> str:
     return "pallas" if (on_tpu and d % 128 == 0) else "xla"
 
 
-def _joint_attention_grouped(q, k_self, v_self, ctx_k, ctx_v, ctx_mask):
+def _joint_attention_grouped(q, k_self, v_self, segments):
     """Segmented joint attention, head-major layouts.
 
     q, k_self, v_self: (G, B, H, S, Dh) — self keys are per-group (x diverges
-    across CFG branches after layer 0). ctx_k/ctx_v: (B, H, T, Dh) shared
-    context (latent|text|speaker concat). ctx_mask: (G, B, T) bool.
+    across CFG branches after layer 0). segments: list of
+    (k (B, H, T, Dh), v (B, H, T, Dh), mask (G, B, T) bool, scale) where
+    scale is a traced scalar or None — the "force speaker" KV multiplier
+    applied at use-site: logits*s and value-contribution*s are exactly
+    K*s / V*s (reference: inference.py:420-428). Segments stay separate all
+    the way into the kernel: no concatenated-context materialization per
+    layer, and the ctx KV reads broadcast across the CFG group axis.
     Self keys are always visible (reference: model.py:249). fp32 softmax.
     Returns (G, B, H, S, Dh).
     """
@@ -216,22 +221,33 @@ def _joint_attention_grouped(q, k_self, v_self, ctx_k, ctx_v, ctx_mask):
         from echo_tts_tpu.ops.pallas_attention import joint_attention_grouped_pallas
 
         return joint_attention_grouped_pallas(
-            q, k_self, v_self, ctx_k, ctx_v, ctx_mask,
+            q, k_self, v_self, segments,
             interpret=(impl == "pallas_interpret"))
     g, b, h, s, d = q.shape
     scale = 1.0 / jnp.sqrt(jnp.float32(d))
     l_self = jnp.einsum("gbhsd,gbhtd->gbhst", q, k_self,
                         preferred_element_type=jnp.float32) * scale
-    l_ctx = jnp.einsum("gbhsd,bhtd->gbhst", q, ctx_k,
+    logits = [l_self]
+    for k, v, mask, s_kv in segments:
+        l = jnp.einsum("gbhsd,bhtd->gbhst", q, k,
                        preferred_element_type=jnp.float32) * scale
-    l_ctx = jnp.where(ctx_mask[:, :, None, None, :], l_ctx, jnp.float32(-1e30))
-    logits = jnp.concatenate([l_self, l_ctx], axis=-1)
-    w = jax.nn.softmax(logits, axis=-1).astype(v_self.dtype)
-    w_self, w_ctx = w[..., :s], w[..., s:]
-    out = jnp.einsum("gbhst,gbhtd->gbhsd", w_self, v_self,
+        if s_kv is not None:
+            l = l * s_kv
+        l = jnp.where(mask[:, :, None, None, :], l, jnp.float32(-1e30))
+        logits.append(l)
+    w = jax.nn.softmax(jnp.concatenate(logits, axis=-1), axis=-1
+                       ).astype(v_self.dtype)
+    out = jnp.einsum("gbhst,gbhtd->gbhsd", w[..., :s], v_self,
                      preferred_element_type=jnp.float32)
-    out = out + jnp.einsum("gbhst,bhtd->gbhsd", w_ctx, ctx_v,
-                           preferred_element_type=jnp.float32)
+    off = s
+    for k, v, mask, s_kv in segments:
+        t = k.shape[2]
+        o = jnp.einsum("gbhst,bhtd->gbhsd", w[..., off:off + t], v,
+                       preferred_element_type=jnp.float32)
+        if s_kv is not None:
+            o = o * s_kv
+        out = out + o
+        off += t
     return out.astype(v_self.dtype)
 
 
@@ -240,12 +256,14 @@ def _dit_forward_grouped(
     cfg: DiTConfig,
     x: jnp.ndarray,                     # (G, B, S, latent_size), model dtype
     t: jnp.ndarray,                     # (B,), model dtype (same t across groups)
-    ctx_mask: jnp.ndarray,              # (G, B, T_ctx) bool over [latent|text|speaker]
-    kv_text: Tuple[jnp.ndarray, jnp.ndarray],     # each (L, B, T_text, H, Dh)
-    kv_speaker: Tuple[jnp.ndarray, jnp.ndarray],  # each (L, B, T_spk, H, Dh)
+    text_mask: jnp.ndarray,             # (G, B, T_text) bool
+    spk_mask: jnp.ndarray,              # (G, B, T_spk_patches) bool (post-stride)
+    kv_text: Tuple[jnp.ndarray, jnp.ndarray],     # each (L, B, H, T_text, Dh)
+    kv_speaker: Tuple[jnp.ndarray, jnp.ndarray],  # each (L, B, H, T_spk, Dh)
     rope_q: Optional[Tuple[jnp.ndarray, jnp.ndarray]],
     kv_latent: Optional[Tuple[jnp.ndarray, jnp.ndarray]],
-    speaker_kv_scale: Optional[jnp.ndarray],      # (L,) use-site scale
+    latent_mask: Optional[jnp.ndarray],           # (G, B, T_lat) bool
+    speaker_kv_scale: Optional[jnp.ndarray],      # (L,) use-site scale or None
 ) -> jnp.ndarray:
     """Core trunk (reference: model.py:563-604). Returns fp32 (G, B, S, D_lat)."""
     g, b, s, _ = x.shape
@@ -270,18 +288,17 @@ def _dit_forward_grouped(
     ks_k, ks_v = kv_speaker
     has_latent = kv_latent is not None and kv_latent[0].shape[3] > 0
 
-    if speaker_kv_scale is None:
-        speaker_kv_scale = jnp.ones((cfg.num_layers,), dtype=jnp.float32)
-
     per = {"p": params["blocks"], "kt_k": kt_k, "kt_v": kt_v,
-           "ks_k": ks_k, "ks_v": ks_v, "s_scale": speaker_kv_scale}
+           "ks_k": ks_k, "ks_v": ks_v}
+    if speaker_kv_scale is not None:
+        per["s_scale"] = speaker_kv_scale
     if has_latent:
         per["kl_k"], per["kl_v"] = kv_latent
 
     def body(x, per):
         p = per["p"]
         a = p["attention"]
-        skv = per["s_scale"].astype(ks_k.dtype)
+        skv = per["s_scale"] if "s_scale" in per else None
 
         h, attn_gate = low_rank_adaln(x, cond, p["attention_adaln"], eps)
         q = (h @ a["wq"]).reshape(g, b, s, h_, dh)
@@ -297,14 +314,15 @@ def _dit_forward_grouped(
         k_self = k_self.transpose(0, 1, 3, 2, 4)
         v_self = v_self.transpose(0, 1, 3, 2, 4)
 
+        # segment order matches reference concat [latent|text|speaker]
+        # (model.py:246-253)
+        segments = []
         if has_latent:
-            ctx_k = jnp.concatenate([per["kl_k"], per["kt_k"], per["ks_k"] * skv], axis=2)
-            ctx_v = jnp.concatenate([per["kl_v"], per["kt_v"], per["ks_v"] * skv], axis=2)
-        else:
-            ctx_k = jnp.concatenate([per["kt_k"], per["ks_k"] * skv], axis=2)
-            ctx_v = jnp.concatenate([per["kt_v"], per["ks_v"] * skv], axis=2)
+            segments.append((per["kl_k"], per["kl_v"], latent_mask, None))
+        segments.append((per["kt_k"], per["kt_v"], text_mask, None))
+        segments.append((per["ks_k"], per["ks_v"], spk_mask, skv))
 
-        o = _joint_attention_grouped(q, k_self, v_self, ctx_k, ctx_v, ctx_mask)
+        o = _joint_attention_grouped(q, k_self, v_self, segments)
         o = o.transpose(0, 1, 3, 2, 4).reshape(g, b, s, cfg.model_size)
         o = o * jax.nn.sigmoid(gate)
         x = x + attn_gate * (o @ a["wo"])
@@ -318,16 +336,6 @@ def _dit_forward_grouped(
     x = rms_norm(x, params["out_norm"], eps)
     x = x @ params["out_proj"]["w"] + params["out_proj"]["b"]
     return x.astype(jnp.float32)
-
-
-def build_ctx_mask(cfg: DiTConfig, text_mask, speaker_mask, latent_mask=None):
-    """Concatenate per-segment key masks in reference order [latent|text|
-    speaker] with the stride-4 speaker downsample (reference: model.py:581,
-    246-253). Inputs (.., T) bool with any shared leading dims."""
-    spk = speaker_mask[..., :: cfg.speaker_patch_size]
-    parts = [] if latent_mask is None else [latent_mask]
-    parts += [text_mask, spk]
-    return jnp.concatenate(parts, axis=-1)
 
 
 def dit_forward(
@@ -349,11 +357,12 @@ def dit_forward(
     has_latent = kv_latent is not None and kv_latent[0].shape[3] > 0
     if has_latent and latent_mask is None:
         latent_mask = jnp.ones((x.shape[0], kv_latent[0].shape[3]), dtype=jnp.bool_)
-    ctx_mask = build_ctx_mask(cfg, text_mask, speaker_mask,
-                              latent_mask if has_latent else None)
+    spk_mask = speaker_mask[..., :: cfg.speaker_patch_size]  # model.py:581
     out = _dit_forward_grouped(
-        params, cfg, x[None], t, ctx_mask[None], kv_text, kv_speaker,
-        rope_q, kv_latent if has_latent else None, speaker_kv_scale)
+        params, cfg, x[None], t, text_mask[None], spk_mask[None],
+        kv_text, kv_speaker, rope_q,
+        kv_latent if has_latent else None,
+        latent_mask[None] if has_latent else None, speaker_kv_scale)
     return out[0]
 
 
@@ -373,20 +382,18 @@ def dit_forward_cfg(
     Returns fp32 (3, B, S, latent_size).
     """
     has_latent = kv_latent is not None and kv_latent[0].shape[3] > 0
-    zeros_t = jnp.zeros_like(text_mask)
-    zeros_s = jnp.zeros_like(speaker_mask)
+    spk = speaker_mask[..., :: cfg.speaker_patch_size]  # model.py:581
     lm = None
     if has_latent:
         if latent_mask is None:
             latent_mask = jnp.ones((x.shape[0], kv_latent[0].shape[3]), dtype=jnp.bool_)
         lm = jnp.broadcast_to(latent_mask[None], (3,) + latent_mask.shape)
-    text_m = jnp.stack([text_mask, zeros_t, text_mask])
-    spk_m = jnp.stack([speaker_mask, speaker_mask, zeros_s])
-    ctx_mask = build_ctx_mask(cfg, text_m, spk_m, lm)
+    text_m = jnp.stack([text_mask, jnp.zeros_like(text_mask), text_mask])
+    spk_m = jnp.stack([spk, spk, jnp.zeros_like(spk)])
     xg = jnp.broadcast_to(x[None], (3,) + x.shape)
     return _dit_forward_grouped(
-        params, cfg, xg, t, ctx_mask, kv_text, kv_speaker,
-        rope_q, kv_latent if has_latent else None, speaker_kv_scale)
+        params, cfg, xg, t, text_m, spk_m, kv_text, kv_speaker,
+        rope_q, kv_latent if has_latent else None, lm, speaker_kv_scale)
 
 
 # ---------------------------------------------------------------------------

@@ -6,18 +6,21 @@ logits in HBM (~360 MB/layer at serving shapes) — pure HBM-bandwidth waste
 that dominated the step time. This kernel keeps logits and softmax entirely
 in VMEM: per (batch, head, q-tile, branch) program it computes
 
-    logits = [q @ k_selfᵀ , q @ k_ctxᵀ·mask]   (MXU, fp32 accum)
-    softmax over the concatenated axis            (VPU, fp32)
-    out = w_self @ v_self + w_ctx @ v_ctx         (MXU)
+    logits = [q @ k_selfᵀ , q @ k_segᵀ·scale·mask ...]   (MXU, fp32 accum)
+    softmax over the concatenated axis                    (VPU, fp32)
+    out = w_self @ v_self + Σ scale·(w_seg @ v_seg)       (MXU)
 
 Segment semantics (reference: model.py:237-253): self keys are always
-visible; ctx keys ([latent|text|speaker] concat) are gated by a per-branch
-boolean mask. The CFG group axis G shares the ctx KV (grid-ordered so the
-ctx block stays VMEM-resident across branches) — the 3 guidance branches
-differ only in masks, so shared ctx is exact (inference.py:479-497).
+visible; each context segment ([latent], text, speaker) keeps its own
+boolean mask and optional use-site KV scale (the "force speaker" multiplier,
+reference inference.py:420-428 — logits·s and value-contribution·s ≡ K·s,
+V·s). Segments arrive SEPARATELY — no concatenated-context copy per layer —
+and the CFG group axis G shares every segment's KV (grid-ordered so ctx
+blocks stay VMEM-resident across branches; the 3 guidance branches differ
+only in masks, inference.py:479-497).
 
 At these extents (S=640, T≈3k) whole segments fit VMEM, so no online-softmax
-streaming is needed (SURVEY.md §5.7); q is tiled at 128 rows for MXU shape.
+streaming is needed (SURVEY.md §5.7); q is tiled for MXU shape.
 """
 from __future__ import annotations
 
@@ -31,39 +34,55 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG = -1e30  # plain float: jnp scalars would be captured consts inside the kernel
 
 
-def _kernel(q_ref, ks_ref, vs_ref, kc_ref, vc_ref, mask_ref, o_ref,
-            *, scale: float, s_real: int):
+def _kernel(*refs, scale: float, s_real: int, nseg: int):
+    q_ref, ks_ref, vs_ref = refs[0], refs[1], refs[2]
+    seg_refs = refs[3:3 + 4 * nseg]
+    o_ref = refs[3 + 4 * nseg]
+
     q = q_ref[0, 0, 0]        # (TQ, D)
     ks = ks_ref[0, 0, 0]      # (S, D)
     vs = vs_ref[0, 0, 0]
-    kc = kc_ref[0, 0]         # (T, D)
-    vc = vc_ref[0, 0]
-    mask = mask_ref[0, 0]     # (T,) bool (int8-backed)
 
     ls = jax.lax.dot_general(q, ks, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32) * scale
-    # mask padded self rows (q was padded to a 128 multiple by the wrapper)
+    # mask padded self rows (q/k_self padded to a tile multiple by the wrapper)
     s_pad = ks.shape[0]
     if s_pad != s_real:
         col = jax.lax.broadcasted_iota(jnp.int32, ls.shape, 1)
         ls = jnp.where(col < s_real, ls, _NEG)
 
-    lc = jax.lax.dot_general(q, kc, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32) * scale
-    lc = jnp.where(mask[None, :], lc, _NEG)
+    logits = [ls]
+    scales = []
+    for i in range(nseg):
+        k_ref, v_ref, m_ref, s_ref = seg_refs[4 * i : 4 * i + 4]
+        k = k_ref[0, 0]       # (T, D)
+        m = m_ref[0, 0]       # (T,)
+        s_kv = s_ref[0]       # scalar from SMEM
+        scales.append(s_kv)
+        l = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        l = l * s_kv
+        l = jnp.where(m[None, :], l, _NEG)
+        logits.append(l)
 
-    m = jnp.maximum(jnp.max(ls, axis=-1, keepdims=True),
-                    jnp.max(lc, axis=-1, keepdims=True))
-    es = jnp.exp(ls - m)
-    ec = jnp.exp(lc - m)
-    denom = jnp.sum(es, axis=-1, keepdims=True) + jnp.sum(ec, axis=-1, keepdims=True)
+    m_row = logits[0].max(axis=-1, keepdims=True)
+    for l in logits[1:]:
+        m_row = jnp.maximum(m_row, l.max(axis=-1, keepdims=True))
+    exps = [jnp.exp(l - m_row) for l in logits]
+    denom = exps[0].sum(axis=-1, keepdims=True)
+    for e in exps[1:]:
+        denom = denom + e.sum(axis=-1, keepdims=True)
     inv = 1.0 / denom
-    ws = (es * inv).astype(vs.dtype)
-    wc = (ec * inv).astype(vc.dtype)
-    o = jax.lax.dot_general(ws, vs, (((1,), (0,)), ((), ())),
+
+    o = jax.lax.dot_general((exps[0] * inv).astype(vs.dtype), vs,
+                            (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
-    o = o + jax.lax.dot_general(wc, vc, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+    for i in range(nseg):
+        v = seg_refs[4 * i + 1][0, 0]
+        w = (exps[i + 1] * inv).astype(v.dtype)
+        contrib = jax.lax.dot_general(w, v, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+        o = o + contrib * scales[i]
     o_ref[0, 0, 0] = o.astype(o_ref.dtype)
 
 
@@ -77,19 +96,19 @@ def _pad_to(x, axis, mult):
     return jnp.pad(x, widths)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def joint_attention_grouped_pallas(q, k_self, v_self, ctx_k, ctx_v, ctx_mask,
+def joint_attention_grouped_pallas(q, k_self, v_self, segments,
                                    interpret: bool = False):
-    """q/k_self/v_self: (G, B, H, S, D) head-major; ctx_k/ctx_v: (B, H, T, D);
-    ctx_mask: (G, B, T) bool. Returns (G, B, H, S, D) in v dtype — same
-    contract as models.dit._joint_attention_grouped.
+    """q/k_self/v_self: (G, B, H, S, D) head-major; segments: list of
+    (k (B, H, T, D), v, mask (G, B, T) bool, scale scalar or None).
+    Returns (G, B, H, S, D) in v dtype — same contract as
+    models.dit._joint_attention_grouped.
 
-    Unaligned T is handled by Mosaic's internal tile padding (measured at
-    these sizes: within noise of a 128-aligned T), so no host-visible padding
-    copies of the big ctx tensors; only q rows pad to the tile multiple.
+    Unaligned T is handled by Mosaic's internal tile padding (measured within
+    noise of a 128-aligned T at these sizes), so no host-visible padding of
+    the big KV tensors; only q rows pad to the tile multiple.
     """
     g, b, h, s, d = q.shape
-    t = ctx_k.shape[2]
+    nseg = len(segments)
     scale = 1.0 / (d ** 0.5)
     # prefer 320-row q tiles (640 = 2x320); fall back to 128, then whole-S
     if s % 320 == 0:
@@ -102,37 +121,40 @@ def joint_attention_grouped_pallas(q, k_self, v_self, ctx_k, ctx_v, ctx_mask,
     qt = _pad_to(q, 3, tq)
     kst = _pad_to(k_self, 3, 8)
     vst = _pad_to(v_self, 3, 8)
-
     s_pad = qt.shape[3]
     s_kv = kst.shape[3]
     n_qt = s_pad // tq
 
-    grid = (b, h, n_qt, g)  # g innermost: ctx block stays resident across branches
+    grid = (b, h, n_qt, g)  # g innermost: ctx blocks stay resident across branches
 
-    out = pl.pallas_call(
-        functools.partial(_kernel, scale=scale, s_real=s),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, 1, tq, d), lambda bb, hh, qq, gg: (gg, bb, hh, qq, 0)),
-            pl.BlockSpec((1, 1, 1, s_kv, d), lambda bb, hh, qq, gg: (gg, bb, hh, 0, 0)),
-            pl.BlockSpec((1, 1, 1, s_kv, d), lambda bb, hh, qq, gg: (gg, bb, hh, 0, 0)),
+    in_specs = [
+        pl.BlockSpec((1, 1, 1, tq, d), lambda bb, hh, qq, gg: (gg, bb, hh, qq, 0)),
+        pl.BlockSpec((1, 1, 1, s_kv, d), lambda bb, hh, qq, gg: (gg, bb, hh, 0, 0)),
+        pl.BlockSpec((1, 1, 1, s_kv, d), lambda bb, hh, qq, gg: (gg, bb, hh, 0, 0)),
+    ]
+    args = [qt, kst, vst]
+    for k, v, mask, s_kv_scale in segments:
+        t = k.shape[2]
+        in_specs += [
             pl.BlockSpec((1, 1, t, d), lambda bb, hh, qq, gg: (bb, hh, 0, 0)),
             pl.BlockSpec((1, 1, t, d), lambda bb, hh, qq, gg: (bb, hh, 0, 0)),
             pl.BlockSpec((1, 1, t), lambda bb, hh, qq, gg: (gg, bb, 0)),
-        ],
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ]
+        if s_kv_scale is None:
+            s_arr = jnp.ones((1,), jnp.float32)
+        else:
+            s_arr = jnp.asarray(s_kv_scale, jnp.float32).reshape(1)
+        args += [k, v, mask, s_arr]
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, scale=scale, s_real=s, nseg=nseg),
+        grid=grid,
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, 1, tq, d),
                                lambda bb, hh, qq, gg: (gg, bb, hh, qq, 0)),
         out_shape=jax.ShapeDtypeStruct((g, b, h, s_pad, d), v_self.dtype),
         interpret=interpret,
-    )(qt, kst, vst, ctx_k, ctx_v, ctx_mask)
+    )(*args)
 
     return out[:, :, :, :s]
-
-
-def flash_attention(q, k, v, mask=None, is_causal: bool = False):
-    """Simple (B,S,H,D) fused attention for the encoders — built on the same
-    kernel by treating all keys as ctx with an optional mask. Causal handled
-    by the caller via mask for now."""
-    raise NotImplementedError(
-        "encoder-path pallas attention lands with the encoder fusion pass; "
-        "use ops.attention.sdpa")

@@ -1,5 +1,6 @@
-"""Kernel-level tests: Pallas fused joint attention vs the XLA einsum path,
-interpreter mode on CPU, fp32, tolerance <=1e-5 (SURVEY.md §4 item 3)."""
+"""Kernel-level tests: Pallas fused segmented joint attention vs the XLA
+einsum path, interpreter mode on CPU, fp32, tolerance <=1e-5
+(SURVEY.md §4 item 3)."""
 import numpy as np
 import pytest
 
@@ -10,41 +11,62 @@ from echo_tts_tpu.models.dit import _joint_attention_grouped
 from echo_tts_tpu.ops.pallas_attention import joint_attention_grouped_pallas
 
 
-def _mk(g, b, s, h, d, t, seed=0, dtype=jnp.float32):
-    # head-major layouts: q/kv_self (G,B,H,S,D), ctx (B,H,T,D)
-    ks = jax.random.split(jax.random.PRNGKey(seed), 6)
+def _mk(g, b, s, h, d, seg_lens, seed=0, dtype=jnp.float32, scales=None):
+    # head-major layouts: q/kv_self (G,B,H,S,D), segments (B,H,T,D)
+    ks = jax.random.split(jax.random.PRNGKey(seed), 3 + 3 * len(seg_lens))
     q = jax.random.normal(ks[0], (g, b, h, s, d), dtype)
     k_self = jax.random.normal(ks[1], (g, b, h, s, d), dtype)
     v_self = jax.random.normal(ks[2], (g, b, h, s, d), dtype)
-    ctx_k = jax.random.normal(ks[3], (b, h, t, d), dtype)
-    ctx_v = jax.random.normal(ks[4], (b, h, t, d), dtype)
-    mask = jax.random.bernoulli(ks[5], 0.8, (g, b, t))
-    # ensure at least something visible per row is irrelevant: self always visible
-    return q, k_self, v_self, ctx_k, ctx_v, mask
+    segments = []
+    for i, t in enumerate(seg_lens):
+        kk = jax.random.normal(ks[3 + 3 * i], (b, h, t, d), dtype)
+        vv = jax.random.normal(ks[4 + 3 * i], (b, h, t, d), dtype)
+        mm = jax.random.bernoulli(ks[5 + 3 * i], 0.8, (g, b, t))
+        sc = None if scales is None else scales[i]
+        segments.append((kk, vv, mm, sc))
+    return q, k_self, v_self, segments
 
 
 @pytest.mark.parametrize("shape", [
-    (3, 1, 128, 2, 128, 256),   # aligned
-    (3, 2, 100, 2, 128, 200),   # unaligned S and T -> wrapper padding
-    (1, 1, 64, 4, 128, 384),    # single branch
+    (3, 1, 128, 2, 128, (256,)),        # one segment, aligned
+    (3, 2, 100, 2, 128, (200, 96)),     # two segments, unaligned S and T
+    (1, 1, 64, 4, 128, (384, 128, 64)),  # three segments (latent path)
 ])
 def test_pallas_matches_xla(shape):
-    g, b, s, h, d, t = shape
-    args = _mk(g, b, s, h, d, t)
-    ref = _joint_attention_grouped(*args)
-    out = joint_attention_grouped_pallas(*args, interpret=True)
+    g, b, s, h, d, seg_lens = shape
+    q, ks_, vs_, segs = _mk(g, b, s, h, d, seg_lens)
+    ref = _joint_attention_grouped(q, ks_, vs_, segs)
+    out = joint_attention_grouped_pallas(q, ks_, vs_, segs, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-4)
+
+
+def test_pallas_with_kv_scale():
+    """Per-segment use-site KV scale (force speaker) inside the kernel."""
+    g, b, s, h, d = 3, 1, 64, 2, 128
+    q, ks_, vs_, segs = _mk(g, b, s, h, d, (128, 256), seed=5,
+                            scales=[None, jnp.float32(1.5)])
+    ref = _joint_attention_grouped(q, ks_, vs_, segs)
+    out = joint_attention_grouped_pallas(q, ks_, vs_, segs, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-4)
+    # and equals explicit K*s, V*s through the XLA path
+    (k1, v1, m1, _), (k2, v2, m2, _) = segs
+    segs_manual = [(k1, v1, m1, None), (k2 * 1.5, v2 * 1.5, m2, None)]
+    ref2 = _joint_attention_grouped(q, ks_, vs_, segs_manual)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref2),
                                atol=1e-5, rtol=1e-4)
 
 
 def test_pallas_fully_masked_ctx():
     """All ctx masked (uncond branches mask whole segments) — softmax must
     fall back to self-only attention, no NaNs."""
-    g, b, s, h, d, t = 2, 1, 64, 2, 128, 256
-    q, ks_, vs_, kc, vc, _ = _mk(g, b, s, h, d, t, seed=3)
-    mask = jnp.zeros((g, b, t), bool)
-    ref = _joint_attention_grouped(q, ks_, vs_, kc, vc, mask)
-    out = joint_attention_grouped_pallas(q, ks_, vs_, kc, vc, mask, interpret=True)
+    g, b, s, h, d = 2, 1, 64, 2, 128
+    q, ks_, vs_, segs = _mk(g, b, s, h, d, (256,), seed=3)
+    k, v, _, _ = segs[0]
+    segs = [(k, v, jnp.zeros((g, b, 256), bool), None)]
+    ref = _joint_attention_grouped(q, ks_, vs_, segs)
+    out = joint_attention_grouped_pallas(q, ks_, vs_, segs, interpret=True)
     assert np.isfinite(np.asarray(out)).all()
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-5, rtol=1e-4)
