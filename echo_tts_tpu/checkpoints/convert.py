@@ -137,6 +137,100 @@ def convert_dit_state(state: State, cfg: DiTConfig,
 
 
 # ---------------------------------------------------------------------------
+# Config inference from checkpoint shapes
+# ---------------------------------------------------------------------------
+
+
+def infer_dit_config(state: State) -> DiTConfig:
+    """Derive a DiTConfig from a reference state_dict's tensor shapes —
+    robust to non-default scales (the reference hard-codes hyperparameters at
+    inference.py:22-42)."""
+    import re
+
+    d, latent = state["in_proj.weight"].shape
+    n_layers = 1 + max(int(m.group(1)) for k in state
+                       if (m := re.match(r"blocks\.(\d+)\.", k)))
+    h, _hd = state["blocks.0.attention.q_norm.weight"].shape
+    ffn = state["blocks.0.mlp.w1.weight"].shape[0]
+    vocab, dt = state["text_encoder.text_embedding.weight"].shape
+    t_layers = 1 + max(int(m.group(1)) for k in state
+                       if (m := re.match(r"text_encoder\.blocks\.(\d+)\.", k)))
+    th, _ = state["text_encoder.blocks.0.attention.q_norm.weight"].shape
+    t_ffn = state["text_encoder.blocks.0.mlp.w1.weight"].shape[0]
+    ds, patch_in = state["speaker_encoder.in_proj.weight"].shape
+    s_layers = 1 + max(int(m.group(1)) for k in state
+                       if (m := re.match(r"speaker_encoder\.blocks\.(\d+)\.", k)))
+    sh, _ = state["speaker_encoder.blocks.0.attention.q_norm.weight"].shape
+    s_ffn = state["speaker_encoder.blocks.0.mlp.w1.weight"].shape[0]
+    te = state["cond_module.0.weight"].shape[1]
+    rank = state["blocks.0.attention_adaln.shift_down.weight"].shape[0]
+    return DiTConfig(
+        latent_size=latent, model_size=d, num_layers=n_layers, num_heads=h,
+        intermediate_size=ffn, text_vocab_size=vocab, text_model_size=dt,
+        text_num_layers=t_layers, text_num_heads=th,
+        text_intermediate_size=t_ffn,
+        speaker_patch_size=patch_in // latent, speaker_model_size=ds,
+        speaker_num_layers=s_layers, speaker_num_heads=sh,
+        speaker_intermediate_size=s_ffn, timestep_embed_size=te,
+        adaln_rank=rank,
+        has_latent_modules="latent_norm.weight" in state,
+    )
+
+
+def infer_ae_config(state: State, base: "AEConfig" = None) -> AEConfig:
+    """Derive structural AEConfig fields from a (weight-norm-folded) S1-DAC
+    state_dict. Window sizes are not recoverable from shapes and keep the
+    base/default values."""
+    import dataclasses
+    import re
+
+    base = base or AEConfig()
+    enc_dim = state["encoder.block.0.conv.weight"].shape[0]
+    enc_blocks = sorted({int(m.group(1)) for k in state
+                         if (m := re.match(r"encoder\.block\.(\d+)\.block\.", k))})
+    rates = []
+    enc_t_layers = []
+    for i in enc_blocks:
+        k = state[f"encoder.block.{i}.block.4.conv.weight"].shape[-1]
+        rates.append(k // 2)
+        tl = {int(m.group(1)) for key in state
+              if (m := re.match(rf"encoder\.block\.{i}\.block\.5\.layers\.(\d+)\.", key))}
+        enc_t_layers.append(len(tl))
+    latent_dim = state[f"encoder.block.{max(enc_blocks) + 2}.conv.weight"].shape[0]
+    dec_dim = state["decoder.model.0.conv.weight"].shape[0]
+    dec_blocks = sorted({int(m.group(1)) for k in state
+                         if (m := re.match(r"decoder\.model\.(\d+)\.block\.", k))})
+    dec_rates = [state[f"decoder.model.{i}.block.1.conv.weight"].shape[-1] // 2
+                 for i in dec_blocks]
+    n_cb = len({int(m.group(1)) for k in state
+                if (m := re.match(r"quantizer\.quantizer\.quantizers\.(\d+)\.", k))})
+    cb_size, cb_dim = state["quantizer.quantizer.quantizers.0.codebook.weight"].shape
+    sem_size = state["quantizer.semantic_quantizer.quantizers.0.codebook.weight"].shape[0]
+    ds_factors = []
+    i = 0
+    while f"quantizer.downsample.{i}.0.conv.weight" in state:
+        ds_factors.append(state[f"quantizer.downsample.{i}.0.conv.weight"].shape[-1])
+        i += 1
+    q_layers = len({int(m.group(1)) for k in state
+                    if (m := re.match(r"quantizer\.pre_module\.layers\.(\d+)\.", k))})
+    q_dim = state["quantizer.pre_module.layers.0.attention.wo.weight"].shape[0]
+    q_wqkv = state["quantizer.pre_module.layers.0.attention.wqkv.weight"].shape[0]
+    q_ffn = state["quantizer.pre_module.layers.0.feed_forward.w1.weight"].shape[0]
+    return dataclasses.replace(
+        base, encoder_dim=enc_dim, encoder_rates=tuple(rates),
+        latent_dim=latent_dim, decoder_dim=dec_dim,
+        decoder_rates=tuple(dec_rates),
+        encoder_transformer_layers=tuple(enc_t_layers),
+        n_codebooks=n_cb, codebook_size=cb_size, codebook_dim=cb_dim,
+        semantic_codebook_size=sem_size, downsample_factor=tuple(ds_factors),
+        q_n_layer=q_layers, q_dim=q_dim,
+        q_intermediate_size=q_ffn,
+        q_n_head=q_dim // base.q_head_dim if q_dim % base.q_head_dim == 0
+        else base.q_n_head,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Weight-norm folding (for the S1-DAC conv stack)
 # ---------------------------------------------------------------------------
 

@@ -84,11 +84,11 @@ def load_dit_from_safetensors(
     downloaded; this env has no egress)."""
     import dataclasses
 
+    state = cv.load_safetensors(path)
     if cfg is None:
-        cfg = DiTConfig()
+        cfg = cv.infer_dit_config(state)
     cfg = dataclasses.replace(
         cfg, has_latent_modules=cfg.has_latent_modules and not delete_blockwise_modules)
-    state = cv.load_safetensors(path)
     params = cv.convert_dit_state(state, cfg)
     params = jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype), params)
     return params, cfg
@@ -101,8 +101,9 @@ def load_ae_from_safetensors(
 ) -> Tuple[dict, AEConfig]:
     """reference: inference.py:80-105 `load_fish_ae_from_hf`; folds
     weight-norm parametrizations at conversion (SURVEY.md §5.4)."""
-    cfg = cfg or AEConfig()
     state = cv.fold_weight_norm(cv.load_safetensors(path))
+    if cfg is None:
+        cfg = cv.infer_ae_config(state)
     params = cv.convert_ae_state(state, cfg)
     params = jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype), params)
     return params, cfg

@@ -70,12 +70,33 @@ def resample(audio: np.ndarray, sr_from: int, sr_to: int) -> np.ndarray:
                          window=("kaiser", 5.0)).astype(np.float32)
 
 
+def decode_with_ffmpeg(path: str, max_duration: float) -> Tuple[np.ndarray, int]:
+    """Compressed-format decode via the ffmpeg CLI when present (the
+    reference uses torchcodec for mp3/flac/...; inference.py:141-144)."""
+    import shutil
+    import subprocess
+
+    if shutil.which("ffmpeg") is None:
+        raise RuntimeError(
+            f"cannot decode {path!r}: only WAV is supported natively and no "
+            "ffmpeg binary is on PATH (install ffmpeg for mp3/flac/ogg)")
+    sr = 44100
+    cmd = ["ffmpeg", "-v", "error", "-t", str(max_duration), "-i", path,
+           "-f", "f32le", "-ac", "1", "-ar", str(sr), "-"]
+    raw = subprocess.run(cmd, check=True, capture_output=True).stdout
+    return np.frombuffer(raw, dtype=np.float32).reshape(1, -1).copy(), sr
+
+
 def load_audio(path: str, max_duration: float = 300.0,
                target_sr: int = 44100) -> np.ndarray:
     """Decode, truncate to max_duration, mono-mix, resample to 44.1 kHz,
     peak-normalize only if peak > 1 (reference: inference.py:141-149).
-    Returns (1, samples) float32."""
-    x, sr = read_wav(path)
+    Returns (1, samples) float32. WAV is decoded natively; other formats
+    route through ffmpeg when available."""
+    if path.lower().endswith(".wav"):
+        x, sr = read_wav(path)
+    else:
+        x, sr = decode_with_ffmpeg(path, max_duration)
     x = x[:, : int(max_duration * sr)]
     x = x.mean(axis=0, keepdims=True)
     x = resample(x, sr, target_sr)
