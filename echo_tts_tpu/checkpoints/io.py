@@ -69,6 +69,42 @@ def load_pytree(path: str, dtype=None) -> Any:
     return tree
 
 
+def save_tree_leaves(path: str, tree: Any) -> None:
+    """Serialize a pytree by canonical jax leaf order — structure-agnostic,
+    so optax optimizer states (NamedTuples, empty subtrees) round-trip."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    np.savez(path, **{f"leaf_{i:06d}": np.asarray(l)
+                      for i, l in enumerate(leaves)})
+
+
+def load_pytree_like(path: str, like: Any) -> Any:
+    """Restore a `save_tree_leaves` checkpoint into the exact pytree
+    structure (and dtypes) of `like`. Enables full train resume
+    (params + opt_state), which the reference lacks (SURVEY.md §5.4)."""
+    z = np.load(path)
+    like_leaves, treedef = jax.tree_util.tree_flatten(like)
+    assert len(z.files) == len(like_leaves), (
+        f"checkpoint has {len(z.files)} leaves, template {len(like_leaves)}")
+    leaves = [jnp.asarray(z[f"leaf_{i:06d}"], getattr(b, "dtype", None))
+              for i, b in enumerate(like_leaves)]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def save_train_state(path_prefix: str, params: Any, opt_state: Any,
+                     step: int = 0) -> None:
+    """Full training checkpoint: params + optimizer state + step counter."""
+    save_tree_leaves(path_prefix + ".params.npz", params)
+    save_tree_leaves(path_prefix + ".opt.npz", opt_state)
+    np.savez(path_prefix + ".meta.npz", step=np.asarray(step))
+
+
+def load_train_state(path_prefix: str, params_like: Any, opt_state_like: Any):
+    params = load_pytree_like(path_prefix + ".params.npz", params_like)
+    opt_state = load_pytree_like(path_prefix + ".opt.npz", opt_state_like)
+    step = int(np.load(path_prefix + ".meta.npz")["step"])
+    return params, opt_state, step
+
+
 # ---------------------------------------------------------------------------
 # Reference-format loaders (mirror inference.py:14-135 entry points)
 # ---------------------------------------------------------------------------

@@ -95,6 +95,11 @@ class SamplerConfig:
     speaker_kv_min_t: Optional[float] = None
     sequence_length: int = 640  # max trained length (reference: inference.py:467-468)
     init_scale: float = 0.999  # t-schedule scale (reference: inference.py:470-477)
+    # Use ONE joint unconditional branch (text+speaker both masked) instead of
+    # two independent ones — the reference suggests this NFE saving in a
+    # comment (inference.py:530); 2 forward branches instead of 3 inside the
+    # CFG window. Changes guidance semantics, so off by default.
+    joint_uncond: bool = False
 
     @staticmethod
     def from_preset(d: dict, **overrides) -> "SamplerConfig":

@@ -374,23 +374,32 @@ def dit_forward_cfg(
     text_mask, speaker_mask,            # (B, T) bool, conditional masks
     kv_text, kv_speaker,
     rope_q=None, kv_latent=None, latent_mask=None, speaker_kv_scale=None,
+    joint_uncond: bool = False,
 ) -> jnp.ndarray:
-    """Three-branch CFG forward: [cond, text-uncond, speaker-uncond].
+    """CFG forward: [cond, text-uncond, speaker-uncond] (3 branches), or
+    [cond, joint-uncond] (2 branches) when joint_uncond.
 
     Branch masks follow reference inference.py:479-497: unconds attend to
     nothing in their ablated segment but the caches carry conditional values.
-    Returns fp32 (3, B, S, latent_size).
+    Returns fp32 (n_groups, B, S, latent_size).
     """
     has_latent = kv_latent is not None and kv_latent[0].shape[3] > 0
     spk = speaker_mask[..., :: cfg.speaker_patch_size]  # model.py:581
+    n_groups = 2 if joint_uncond else 3
     lm = None
     if has_latent:
         if latent_mask is None:
             latent_mask = jnp.ones((x.shape[0], kv_latent[0].shape[3]), dtype=jnp.bool_)
-        lm = jnp.broadcast_to(latent_mask[None], (3,) + latent_mask.shape)
-    text_m = jnp.stack([text_mask, jnp.zeros_like(text_mask), text_mask])
-    spk_m = jnp.stack([spk, spk, jnp.zeros_like(spk)])
-    xg = jnp.broadcast_to(x[None], (3,) + x.shape)
+        lm = jnp.broadcast_to(latent_mask[None], (n_groups,) + latent_mask.shape)
+    if joint_uncond:
+        # one shared unconditional: both text and speaker masked
+        # (reference comment at inference.py:530)
+        text_m = jnp.stack([text_mask, jnp.zeros_like(text_mask)])
+        spk_m = jnp.stack([spk, jnp.zeros_like(spk)])
+    else:
+        text_m = jnp.stack([text_mask, jnp.zeros_like(text_mask), text_mask])
+        spk_m = jnp.stack([spk, spk, jnp.zeros_like(spk)])
+    xg = jnp.broadcast_to(x[None], (n_groups,) + x.shape)
     return _dit_forward_grouped(
         params, cfg, xg, t, text_m, spk_m, kv_text, kv_speaker,
         rope_q, kv_latent if has_latent else None, lm, speaker_kv_scale)

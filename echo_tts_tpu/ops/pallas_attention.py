@@ -56,7 +56,8 @@ def _kernel(*refs, scale: float, s_real: int, nseg: int):
     for i in range(nseg):
         k_ref, v_ref, m_ref, s_ref = seg_refs[4 * i : 4 * i + 4]
         k = k_ref[0, 0]       # (T, D)
-        m = m_ref[0, 0]       # (T,)
+        m = m_ref[0, 0, 0]    # (T,) — mask carries a dummy axis so its block
+        #                        shape's trailing dims equal the array's
         s_kv = s_ref[0]       # scalar from SMEM
         scales.append(s_kv)
         l = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
@@ -138,14 +139,14 @@ def joint_attention_grouped_pallas(q, k_self, v_self, segments,
         in_specs += [
             pl.BlockSpec((1, 1, t, d), lambda bb, hh, qq, gg: (bb, hh, 0, 0)),
             pl.BlockSpec((1, 1, t, d), lambda bb, hh, qq, gg: (bb, hh, 0, 0)),
-            pl.BlockSpec((1, 1, t), lambda bb, hh, qq, gg: (gg, bb, 0)),
+            pl.BlockSpec((1, 1, 1, t), lambda bb, hh, qq, gg: (gg, bb, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ]
         if s_kv_scale is None:
             s_arr = jnp.ones((1,), jnp.float32)
         else:
             s_arr = jnp.asarray(s_kv_scale, jnp.float32).reshape(1)
-        args += [k, v, mask, s_arr]
+        args += [k, v, mask[:, :, None, :], s_arr]
 
     out = pl.pallas_call(
         functools.partial(_kernel, scale=scale, s_real=s, nseg=nseg),

@@ -86,11 +86,18 @@ def euler_cfg_scan(
         t_b = jnp.full((b,), t, dtype=jnp.float32).astype(model_dtype)
 
         def with_cfg(x):
-            v3 = dit_forward_cfg(
+            v = dit_forward_cfg(
                 params, cfg, x.astype(model_dtype), t_b, text_mask, speaker_mask,
                 kv_text, kv_speaker, rope_q=rope_q, kv_latent=kv_latent,
-                latent_mask=latent_mask, speaker_kv_scale=s_vec)
-            v_cond, v_ut, v_us = v3[0], v3[1], v3[2]
+                latent_mask=latent_mask, speaker_kv_scale=s_vec,
+                joint_uncond=sc.joint_uncond)
+            v_cond = v[0]
+            if sc.joint_uncond:
+                # single shared unconditional (reference comment,
+                # inference.py:530): both guidance terms use it
+                v_ut = v_us = v[1]
+            else:
+                v_ut, v_us = v[1], v[2]
             return (v_cond
                     + sc.cfg_scale_text * (v_cond - v_ut)
                     + sc.cfg_scale_speaker * (v_cond - v_us))

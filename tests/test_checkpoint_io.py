@@ -62,3 +62,46 @@ def test_load_ae_from_safetensors(tmp_path):
     ref_w = dac.encoder.block[0].conv.weight.detach().numpy()
     np.testing.assert_allclose(np.asarray(params["encoder"]["stem"]["w"]),
                                ref_w, atol=1e-6)
+
+
+def test_train_state_resume(tmp_path):
+    """Full params+optimizer-state resume — training continues identically
+    after restore (capability the reference lacks, SURVEY.md §5.4)."""
+    import jax
+
+    from echo_tts_tpu.checkpoints.io import load_train_state, save_train_state
+    from echo_tts_tpu.models.dit import init_dit_params
+    from echo_tts_tpu.train.loop import TrainConfig, make_train_step
+
+    cfg = DCFG
+    params = init_dit_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    tc = TrainConfig(learning_rate=1e-3, warmup_steps=0, total_steps=10)
+    opt, step = make_train_step(cfg, tc, model_dtype=jnp.float32)
+    opt_state = opt.init(params)
+
+    key = jax.random.PRNGKey(1)
+    ks = jax.random.split(key, 4)
+    batch = {
+        "latent": jax.random.normal(ks[0], (2, 8, cfg.latent_size)),
+        "latent_mask": jnp.ones((2, 8), bool),
+        "text_input_ids": jax.random.randint(ks[1], (2, 6), 0, 256),
+        "text_mask": jnp.ones((2, 6), bool),
+        "speaker_latent": jax.random.normal(ks[2], (2, 8, cfg.latent_size)),
+        "speaker_mask": jnp.ones((2, 8), bool),
+    }
+    params1, opt_state1, _ = step(params, opt_state, jax.random.PRNGKey(2), batch)
+
+    prefix = str(tmp_path / "ck")
+    save_train_state(prefix, params1, opt_state1, step=1)
+    params_r, opt_state_r, n = load_train_state(prefix, params1, opt_state1)
+    assert n == 1
+
+    # continuing from restored state must match continuing from live state
+    import numpy as np
+
+    p_a, _, loss_a = step(params1, opt_state1, jax.random.PRNGKey(3), batch)
+    p_b, _, loss_b = step(params_r, opt_state_r, jax.random.PRNGKey(3), batch)
+    np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-6)
+    la = jax.tree_util.tree_leaves(p_a)[0]
+    lb = jax.tree_util.tree_leaves(p_b)[0]
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=1e-7)

@@ -98,3 +98,48 @@ def test_sampler_parity_no_cfg_window(setup):
                        sequence_length=16)
     ref, out = _run_both(setup, sc)
     np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_joint_uncond_mode(setup):
+    """joint_uncond=True (single shared unconditional, reference comment at
+    inference.py:530): equals manually computing the guidance formula with a
+    both-masked forward."""
+    import torch
+
+    import jax.numpy as jnp
+    from echo_tts_tpu.models.dit import (
+        dit_forward, get_kv_cache_speaker, get_kv_cache_text)
+
+    tm, params, ref_inf, ids, text_mask, spk, spk_mask = setup
+    sc = SamplerConfig(num_steps=2, cfg_scale_text=3.0, cfg_scale_speaker=5.0,
+                       cfg_min_t=0.0, cfg_max_t=1.0, truncation_factor=None,
+                       sequence_length=16, joint_uncond=True)
+    gen = torch.Generator(device="cpu").manual_seed(3)
+    noise = torch.randn((1, 16, CFG.latent_size), generator=gen).numpy()
+
+    out = sample_euler_cfg_independent_guidances(
+        params, CFG, sc,
+        jnp.asarray(spk.numpy()), jnp.asarray(spk_mask.numpy()),
+        jnp.asarray(ids.numpy()), jnp.asarray(text_mask.numpy()),
+        jnp.asarray(noise), model_dtype=jnp.float32)
+
+    # manual two-branch euler with the same schedule
+    jids = jnp.asarray(ids.numpy())
+    jtm = jnp.asarray(text_mask.numpy())
+    jspk = jnp.asarray(spk.numpy())
+    jsm = jnp.asarray(spk_mask.numpy())
+    kvt = get_kv_cache_text(params, CFG, jids, jtm)
+    kvs = get_kv_cache_speaker(params, CFG, jspk)
+    from echo_tts_tpu.sampling.euler_cfg import t_schedule
+
+    ts = t_schedule(sc)
+    x = jnp.asarray(noise)
+    for i in range(sc.num_steps):
+        t_b = jnp.full((1,), ts[i])
+        v_c = dit_forward(params, CFG, x, t_b, jtm, jsm, kvt, kvs)
+        v_u = dit_forward(params, CFG, x, t_b, jnp.zeros_like(jtm),
+                          jnp.zeros_like(jsm), kvt, kvs)
+        v = v_c + sc.cfg_scale_text * (v_c - v_u) + sc.cfg_scale_speaker * (v_c - v_u)
+        x = x + v * (ts[i + 1] - ts[i])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x),
+                               atol=2e-4, rtol=1e-3)
