@@ -32,11 +32,16 @@ class PCAState:
 
     @staticmethod
     def random(key_seed: int = 0, latent_dim: int = 1024, out_dim: int = 80) -> "PCAState":
-        """Random orthonormal projection for benches/tests without weights."""
+        """Random projection for benches/tests without weights: orthonormal
+        rows when out_dim <= latent_dim, plain gaussian otherwise (tiny test
+        configs have latent_dim < out_dim)."""
         rng = np.random.default_rng(key_seed)
-        a = rng.standard_normal((latent_dim, latent_dim))
-        q, _ = np.linalg.qr(a)
-        return PCAState.from_arrays(q[:out_dim], rng.standard_normal(latent_dim) * 0.01, 1.0)
+        if out_dim <= latent_dim:
+            q, _ = np.linalg.qr(rng.standard_normal((latent_dim, latent_dim)))
+            comp = q[:out_dim]
+        else:
+            comp = 0.3 * rng.standard_normal((out_dim, latent_dim))
+        return PCAState.from_arrays(comp, rng.standard_normal(latent_dim) * 0.01, 1.0)
 
 
 jax.tree_util.register_pytree_node(

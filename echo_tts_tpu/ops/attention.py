@@ -1,11 +1,9 @@
 """Attention ops for TPU.
 
-Two implementations share one contract:
-  * `sdpa` — plain XLA einsum-softmax attention. XLA fuses this well for the
-    small sequence extents in Echo-TTS (640 q x ~3k kv); used as the
-    reference/fallback path and for autodiff.
-  * a Pallas flash-attention kernel (see ops/pallas_attention.py) selected via
-    `use_pallas=True` for the DiT hot loop.
+`sdpa` — plain XLA einsum-softmax attention. XLA fuses this well for the
+encoder extents in Echo-TTS (<=1600 tokens, run once per request); the DiT
+hot loop uses the Pallas fused segmented kernel instead
+(ops/pallas_attention.py, dispatched inside models/dit.py).
 
 Contract (mirrors reference F.scaled_dot_product_attention use at
 model.py:148-154, 255-261): q (B,S,H,D), k/v (B,T,H,D), boolean key mask
@@ -13,7 +11,6 @@ model.py:148-154, 255-261): q (B,S,H,D), k/v (B,T,H,D), boolean key mask
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax
@@ -52,12 +49,3 @@ def sdpa(
         "bhst,bthd->bshd", weights.astype(v.dtype), v, preferred_element_type=jnp.float32
     )
     return out.astype(v.dtype)
-
-
-@partial(jax.jit, static_argnames=("is_causal", "use_pallas"))
-def attention(q, k, v, mask=None, is_causal: bool = False, use_pallas: bool = False):
-    if use_pallas:
-        from echo_tts_tpu.ops.pallas_attention import flash_attention
-
-        return flash_attention(q, k, v, mask=mask, is_causal=is_causal)
-    return sdpa(q, k, v, mask=mask, is_causal=is_causal)

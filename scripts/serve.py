@@ -30,7 +30,13 @@ def main():
     ap.add_argument("--gradio", action="store_true")
     ap.add_argument("--presets", default="sampler_presets.json")
     ap.add_argument("--random-tiny", action="store_true")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (this image pins a TPU plugin; "
+                         "the env var alone is not honored)")
     args = ap.parse_args()
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from echo_tts_tpu.core.config import AEConfig, DiTConfig, PipelineConfig
     from echo_tts_tpu.models.pca import PCAState

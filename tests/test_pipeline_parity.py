@@ -187,3 +187,18 @@ def test_e2e_waveform_parity(tiny_tts):
     assert normalized == normed[0]
     assert audio.shape == ref_audio.shape
     np.testing.assert_allclose(audio, ref_audio, atol=5e-4, rtol=1e-2)
+
+
+def test_pca_random_shapes():
+    """PCAState.random must honor out_dim even when out_dim > latent_dim
+    (tiny configs); regression for the serve --random-tiny crash."""
+    from echo_tts_tpu.models.pca import PCAState, deproject, project
+
+    for latent_dim, out_dim in [(1024, 80), (64, 80)]:
+        p = PCAState.random(latent_dim=latent_dim, out_dim=out_dim)
+        assert p.components.shape == (out_dim, latent_dim)
+        z = jnp.ones((1, latent_dim, 6))
+        lat = project(p, z)
+        assert lat.shape == (1, 6, out_dim)
+        back = deproject(p, lat)
+        assert back.shape == (1, latent_dim, 6)
