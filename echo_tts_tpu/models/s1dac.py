@@ -277,6 +277,73 @@ def _residual_unit(x, p, *, dilation):
     return x + y
 
 
+# Below ~192 channels XLA's 1-D conv lowering runs at <8 TFLOP/s on v5e while
+# the same math as K accumulated shifted matmuls (channels-last) doubles that
+# (measured; BASELINE.md). The decoder's low-channel tail dominates vocoder
+# time, so its residual units dispatch to this formulation.
+_SHIFTED_MATMUL_MAX_CH = 192
+
+
+def _causal_conv_shifted_cl(x_cl, w, b, *, kernel_size: int, dilation: int):
+    """Stride-1 causal conv on channels-last (B, T, C) as kernel_size
+    accumulated shifted matmuls. w: (O, I, K) torch layout."""
+    k_eff = (kernel_size - 1) * dilation + 1
+    xp = jnp.pad(x_cl, ((0, 0), (k_eff - 1, 0), (0, 0)))
+    wt = jnp.transpose(w, (2, 1, 0))  # (K, I, O)
+    t = x_cl.shape[1]
+    out = None
+    for j in range(kernel_size):
+        xi = jax.lax.dynamic_slice_in_dim(xp, j * dilation, t, axis=1)
+        o = xi @ wt[j]
+        out = o if out is None else out + o
+    if b is not None:
+        out = out + b
+    return out
+
+
+def _causal_tconv_phase_cl(x_cl, w, b, *, kernel_size: int, stride: int):
+    """Causal transposed conv as ceil(k/s) phase-grouped matmuls,
+    channels-last. w: (I, O, K) torch layout.
+
+    torch tconv: y[t] = sum_i x[i] W[..., t - i*s]; writing t = s*i' + po the
+    taps j = m*s + po give y[s*i'+po] = sum_m x[i'-m] @ W[..., m*s+po] — each
+    m is ONE matmul (T, I) @ (I, s*O) with po-major output lanes, then an
+    interleaving reshape. s*O lanes instead of O: MXU-efficient where the
+    direct lowering starves (O=96..192). Includes the causal right-unpad k-s
+    (reference: autoencoder.py:310-316), so output length is T*s."""
+    t_in, i_ch = x_cl.shape[1], x_cl.shape[2]
+    o_ch = w.shape[1]
+    s = stride
+    m_taps = -(-kernel_size // s)
+    k_pad = m_taps * s
+    if k_pad != kernel_size:
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, k_pad - kernel_size)))
+    w2 = w.reshape(i_ch, o_ch, m_taps, s)
+    out = None
+    for m in range(m_taps):
+        wm = w2[:, :, m, :].transpose(0, 2, 1).reshape(i_ch, s * o_ch)
+        xm = x_cl if m == 0 else jnp.pad(x_cl, ((0, 0), (m, 0), (0, 0)))[:, :t_in]
+        o = xm @ wm
+        out = o if out is None else out + o
+    y = out.reshape(x_cl.shape[0], t_in * s, o_ch)
+    if b is not None:
+        y = y + b
+    return y
+
+
+def _residual_unit_cl(x_cl, p, *, dilation):
+    """Channels-last residual unit (same math as _residual_unit)."""
+    a1 = p["snake1"].reshape(-1)
+    a2 = p["snake2"].reshape(-1)
+    y = x_cl + (1.0 / (a1 + 1e-9)) * jnp.square(jnp.sin(a1 * x_cl))
+    y = _causal_conv_shifted_cl(y, p["conv1"]["w"], p["conv1"].get("b"),
+                                kernel_size=7, dilation=dilation)
+    y = y + (1.0 / (a2 + 1e-9)) * jnp.square(jnp.sin(a2 * y))
+    y = _causal_conv_shifted_cl(y, p["conv2"]["w"], p["conv2"].get("b"),
+                                kernel_size=1, dilation=1)
+    return x_cl + y
+
+
 def encoder_forward(params: dict, cfg: AEConfig, audio: jnp.ndarray) -> jnp.ndarray:
     """Audio (B, 1, T) -> latents (B, latent_dim, T/hop)
     (reference: autoencoder.py:903-929)."""
@@ -287,8 +354,14 @@ def encoder_forward(params: dict, cfg: AEConfig, audio: jnp.ndarray) -> jnp.ndar
                                           cfg.encoder_transformer_layers)):
         d_model *= 2
         blk = p["blocks"][i]
-        for j, dil in enumerate((1, 3, 9)):
-            x = _residual_unit(x, blk["res_units"][j], dilation=dil)
+        if x.shape[1] <= _SHIFTED_MATMUL_MAX_CH:
+            x = x.transpose(0, 2, 1)
+            for j, dil in enumerate((1, 3, 9)):
+                x = _residual_unit_cl(x, blk["res_units"][j], dilation=dil)
+            x = x.transpose(0, 2, 1)
+        else:
+            for j, dil in enumerate((1, 3, 9)):
+                x = _residual_unit(x, blk["res_units"][j], dilation=dil)
         x = snake(x, blk["snake"])
         x = causal_conv(x, blk["down"], kernel_size=2 * stride, stride=stride)
         if n_t > 0:
@@ -306,13 +379,38 @@ def decoder_forward(params: dict, cfg: AEConfig, z: jnp.ndarray) -> jnp.ndarray:
     module docstring quirk note)."""
     p = params["decoder"]
     x = causal_conv(z, p["stem"], kernel_size=7)
-    channels = cfg.decoder_dim
+    cl = False  # channels-last mode for the low-channel tail
     for i, stride in enumerate(cfg.decoder_rates):
         blk = p["blocks"][i]
-        x = snake(x, blk["snake"])
-        x = causal_tconv(x, blk["up"], kernel_size=2 * stride, stride=stride)
-        for j, dil in enumerate((1, 3, 9)):
-            x = _residual_unit(x, blk["res_units"][j], dilation=dil)
+        out_ch = blk["up"]["w"].shape[1]
+        if not cl and out_ch <= _SHIFTED_MATMUL_MAX_CH:
+            # switch to channels-last for the rest of the decoder: the
+            # matmul formulations below double throughput at these widths
+            # (see _SHIFTED_MATMUL_MAX_CH note) and chain without layout flips
+            x = x.transpose(0, 2, 1)
+            cl = True
+        if cl:
+            a = blk["snake"].reshape(-1)
+            x = x + (1.0 / (a + 1e-9)) * jnp.square(jnp.sin(a * x))
+            x = _causal_tconv_phase_cl(x, blk["up"]["w"], blk["up"].get("b"),
+                                       kernel_size=2 * stride, stride=stride)
+            for j, dil in enumerate((1, 3, 9)):
+                x = _residual_unit_cl(x, blk["res_units"][j], dilation=dil)
+        else:
+            x = snake(x, blk["snake"])
+            # phase-matmul tconv beats the direct lowering at every decoder
+            # width (s*O output lanes); two cheap layout flips around it
+            x = _causal_tconv_phase_cl(
+                x.transpose(0, 2, 1), blk["up"]["w"], blk["up"].get("b"),
+                kernel_size=2 * stride, stride=stride).transpose(0, 2, 1)
+            for j, dil in enumerate((1, 3, 9)):
+                x = _residual_unit(x, blk["res_units"][j], dilation=dil)
+    if cl:
+        a = p["head_snake"].reshape(-1)
+        x = x + (1.0 / (a + 1e-9)) * jnp.square(jnp.sin(a * x))
+        x = _causal_conv_shifted_cl(x, p["head"]["w"], p["head"].get("b"),
+                                    kernel_size=7, dilation=1)
+        return jnp.tanh(x).transpose(0, 2, 1)
     x = snake(x, p["head_snake"])
     x = causal_conv(x, p["head"], kernel_size=7)
     return jnp.tanh(x)
