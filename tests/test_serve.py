@@ -75,3 +75,36 @@ def test_http_server_roundtrip(engine):
         assert "sample" in timings and "vocoder" in timings
     finally:
         httpd.shutdown()
+
+
+def test_http_preset_and_speaker_wav(engine, tmp_path):
+    """Preset-by-name + base64 speaker-WAV conditioning through the HTTP API
+    (reference serve surface: speaker upload + sampler presets)."""
+    import dataclasses
+
+    from echo_tts_tpu.pipeline.audio_io import write_wav
+
+    presets = {"Fast-Test": SC}
+    httpd = serve(engine, port=0, background=True, presets=presets)
+    port = httpd.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    try:
+        # speaker wav: 16 chunk-latents of audio at the tiny frame length
+        n = engine.tts.ae_cfg.frame_length * 16
+        rng = np.random.default_rng(3)
+        p = str(tmp_path / "spk.wav")
+        write_wav(p, (0.2 * rng.standard_normal(n)).astype(np.float32)[None],
+                  engine.tts.ae_cfg.sample_rate)
+        with open(p, "rb") as f:
+            b64 = base64.b64encode(f.read()).decode()
+
+        body = json.dumps({"text": "Preset request.", "seed": 4,
+                           "preset": "Fast-Test", "speaker_wav_b64": b64}).encode()
+        req = urllib.request.Request(f"{base}/tts", data=body,
+                                     headers={"Content-Type": "application/json"})
+        resp = urllib.request.urlopen(req)
+        assert resp.read()[:4] == b"RIFF"
+        timings = json.loads(resp.headers["X-Timings"])
+        assert timings["speaker_encode"] > 0
+    finally:
+        httpd.shutdown()
