@@ -8,7 +8,7 @@ free implementation: stdlib WAV codec + polyphase resampler (scipy).
 from __future__ import annotations
 
 import wave
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

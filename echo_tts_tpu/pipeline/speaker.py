@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from echo_tts_tpu.core.config import AEConfig, PipelineConfig
+from echo_tts_tpu.core.config import AEConfig
 from echo_tts_tpu.models import pca as pca_mod
 from echo_tts_tpu.models import s1dac
 

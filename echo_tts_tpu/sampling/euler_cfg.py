@@ -11,7 +11,7 @@ speaker-KV scale arithmetic.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,7 @@ import numpy as np
 
 from echo_tts_tpu.core.config import SamplerConfig
 from echo_tts_tpu.pipeline.pipeline import EchoTTS, sample_pipeline
-from echo_tts_tpu.train.lora import LoRAConfig, load_lora_checkpoint, merge_lora
+from echo_tts_tpu.train.lora import load_lora_checkpoint, merge_lora
 
 log = logging.getLogger("echo_tts_tpu.serve")
 

@@ -19,7 +19,6 @@ Endpoints:
 from __future__ import annotations
 
 import base64
-import io
 import json
 import tempfile
 import threading

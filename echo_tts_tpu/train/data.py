@@ -8,7 +8,6 @@ shape buckets so the jitted train step compiles once per bucket.
 from __future__ import annotations
 
 import dataclasses
-import os
 from pathlib import Path
 from typing import Dict, List, Optional, Tuple
 

@@ -5,8 +5,7 @@ the adapters receive gradients, base frozen — reference lora.py:51-54)."""
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

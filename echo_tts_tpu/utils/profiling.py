@@ -16,7 +16,7 @@ import contextlib
 import json
 import logging
 import time
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 
