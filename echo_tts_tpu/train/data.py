@@ -127,33 +127,109 @@ def prepare_samples_from_directory(
     audio_dir: str,
     transcriptions: Optional[Dict[str, str]] = None,
     extensions: Tuple[str, ...] = AUDIO_EXTENSIONS,
+    transcribe_missing: bool = False,
+    asr=None,
 ) -> List[TrainingSample]:
-    """reference: train_utils.py:811-854."""
+    """Scan a directory for audio and attach transcriptions (reference:
+    train_utils.py:811-854). With `transcribe_missing`, files without a
+    provided transcription are run through ASR (reference transcribes
+    everything up-front; here it is opt-in for zero-egress environments)."""
     files: List[Path] = []
     for ext in extensions:
         files.extend(Path(audio_dir).glob(f"*{ext}"))
         files.extend(Path(audio_dir).glob(f"*{ext.upper()}"))
-    out = []
-    for p in sorted(set(files)):
-        text = (transcriptions or {}).get(str(p))
-        if text is not None:
-            out.append(TrainingSample(audio_path=str(p), text=text))
-    return out
+    paths = sorted(str(p) for p in set(files))
+    texts = dict(transcriptions or {})
+    if transcribe_missing:
+        missing = [p for p in paths if p not in texts]
+        if missing:
+            texts.update(transcribe_audio_files(missing, asr=asr))
+    return [TrainingSample(audio_path=p, text=texts[p])
+            for p in paths if texts.get(p)]
+
+
+def _tag_transcript(text: str) -> str:
+    """Prepend the `[S1]` speaker tag the tokenizer expects (reference:
+    train_utils.py:609-612; mirrors the tokenizer auto-tag rule)."""
+    text = text.strip()
+    if text and not text.startswith("[") and "S1" not in text:
+        text = "[S1] " + text
+    return text
+
+
+def _default_asr(model_name: str):
+    """Build a transformers ASR pipeline (zero-egress environments need the
+    weights pre-downloaded)."""
+    from transformers import pipeline as hf_pipeline  # pragma: no cover
+
+    return hf_pipeline("automatic-speech-recognition", model=model_name)  # pragma: no cover
+
+
+def transcribe_audio(audio_path: str, model_name: str = "openai/whisper-base",
+                     asr=None) -> str:
+    """Single-file Whisper transcription (reference: train_utils.py:551-622).
+    `asr` is an injectable callable path -> {"text": ...} for tests/offline."""
+    asr = asr or _default_asr(model_name)
+    return _tag_transcript(asr(audio_path)["text"])
 
 
 def transcribe_audio_files(audio_paths: List[str], model_name: str = "openai/whisper-base",
-                           language: str = "en") -> Dict[str, str]:
-    """ASR transcription via transformers (the reference shells to Whisper /
-    Parakeet, train_utils.py:551-803). Requires model weights locally; adds
-    the `[S1]` prefix the tokenizer expects."""
-    from transformers import pipeline as hf_pipeline  # pragma: no cover
-
-    asr = hf_pipeline("automatic-speech-recognition", model=model_name)
-    out = {}
+                           asr=None, on_error: str = "collect") -> Dict[str, str]:
+    """Batch ASR (reference: train_utils.py:737-803). Per-file errors are
+    collected and skipped (`on_error="collect"`, the reference behavior at
+    train_utils.py:715-733) or re-raised (`on_error="raise"`)."""
+    asr = asr or _default_asr(model_name)
+    out: Dict[str, str] = {}
+    errors: Dict[str, str] = {}
     for p in audio_paths:
-        text = asr(p)["text"].strip()
-        if text and not text.startswith("[") and "S1" not in text:
-            text = "[S1] " + text
-        if text:
-            out[p] = text
+        try:
+            text = _tag_transcript(asr(p)["text"])
+            if text:
+                out[p] = text
+        except Exception as e:
+            if on_error == "raise":
+                raise
+            errors[p] = str(e)
+    if errors:
+        import logging
+
+        logging.getLogger("echo_tts_tpu.train").warning(
+            "transcription failed for %d file(s): %s", len(errors),
+            ", ".join(sorted(errors)))
+    return out
+
+
+def transcribe_audio_files_parakeet(audio_paths: List[str],
+                                    model_name: str = "nvidia/parakeet-ctc-1.1b",
+                                    asr=None) -> Dict[str, str]:
+    """Parakeet-CTC variant (reference: train_utils.py:625-734) — same
+    transformers pipeline surface, different default checkpoint."""
+    return transcribe_audio_files(audio_paths, model_name=model_name, asr=asr)
+
+
+def transcribe_audio_files_parallel(audio_paths: List[str],
+                                    model_name: str = "openai/whisper-base",
+                                    asr=None, num_workers: int = 4) -> Dict[str, str]:
+    """Thread-parallel batch ASR (reference: train_utils.py:786-803). ASR
+    decode is host-side and IO/compute-mixed; threads overlap file decode with
+    model calls."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    asr = asr or _default_asr(model_name)
+    out: Dict[str, str] = {}
+
+    def one(p):
+        try:
+            return p, _tag_transcript(asr(p)["text"])
+        except Exception as e:
+            import logging
+
+            logging.getLogger("echo_tts_tpu.train").warning(
+                "transcription failed for %s: %s", p, e)
+            return p, ""
+
+    with ThreadPoolExecutor(max_workers=num_workers) as ex:
+        for p, text in ex.map(one, audio_paths):
+            if text:
+                out[p] = text
     return out

@@ -64,3 +64,63 @@ def test_dataset_and_collate(tmp_path, tiny_tts):  # noqa: F811
 
     bs = list(batches(ds, 2, np.random.default_rng(1), max_text_length=32))
     assert len(bs) == 1 and bs[0]["latent"].shape[0] == 2
+
+
+class _FakeASR:
+    """Injectable ASR stand-in (the real path needs downloaded weights)."""
+
+    def __init__(self, fail_on=()):
+        self.fail_on = set(fail_on)
+        self.calls = []
+
+    def __call__(self, path):
+        self.calls.append(path)
+        if path in self.fail_on:
+            raise RuntimeError("decode error")
+        return {"text": f"hello from {pathlib_name(path)}"}
+
+
+def pathlib_name(p):
+    import os
+
+    return os.path.splitext(os.path.basename(p))[0]
+
+
+def test_transcription_api(tmp_path):
+    from echo_tts_tpu.train.data import (
+        transcribe_audio,
+        transcribe_audio_files,
+        transcribe_audio_files_parakeet,
+        transcribe_audio_files_parallel,
+    )
+
+    paths = [str(tmp_path / f"x{i}.wav") for i in range(3)]
+    asr = _FakeASR()
+    # single: [S1] tag auto-prepended (reference train_utils.py:609-612)
+    assert transcribe_audio(paths[0], asr=asr) == "[S1] hello from x0"
+    # batch: per-file errors collected and skipped (train_utils.py:715-733)
+    asr = _FakeASR(fail_on={paths[1]})
+    out = transcribe_audio_files(paths, asr=asr)
+    assert set(out) == {paths[0], paths[2]}
+    assert all(v.startswith("[S1] ") for v in out.values())
+    with pytest.raises(RuntimeError):
+        transcribe_audio_files(paths, asr=asr, on_error="raise")
+    # parakeet variant shares the surface
+    assert set(transcribe_audio_files_parakeet(paths, asr=_FakeASR())) == set(paths)
+    # parallel variant: same results, any order
+    par = transcribe_audio_files_parallel(paths, asr=_FakeASR(), num_workers=2)
+    assert par == transcribe_audio_files(paths, asr=_FakeASR())
+
+
+def test_prepare_samples_transcribe_missing(tmp_path):
+    sr = 8000
+    for i in range(2):
+        write_wav(str(tmp_path / f"s{i}.wav"),
+                  np.zeros((1, sr // 4), np.float32), sr)
+    provided = {str(tmp_path / "s0.wav"): "[S1] provided"}
+    samples = prepare_samples_from_directory(
+        str(tmp_path), provided, transcribe_missing=True, asr=_FakeASR())
+    assert len(samples) == 2
+    texts = {s.audio_path: s.text for s in samples}
+    assert texts[str(tmp_path / "s0.wav")] == "[S1] provided"
+    assert texts[str(tmp_path / "s1.wav")] == "[S1] hello from s1"
