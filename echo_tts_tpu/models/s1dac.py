@@ -283,6 +283,40 @@ def _residual_unit(x, p, *, dilation):
 # time, so its residual units dispatch to this formulation.
 _SHIFTED_MATMUL_MAX_CH = 192
 
+# Residual-unit conv implementation:
+#   "auto"             — fused Pallas chain kernel on TPU, else XLA
+#   "xla"              — shifted-matmul / lax.conv formulations (autodiff-safe)
+#   "pallas"           — force the Pallas kernel (compiled)
+#   "pallas_interpret" — Pallas interpreter mode (CPU kernel tests)
+_CONV_IMPL = "auto"
+
+
+def set_conv_impl(impl: str) -> None:
+    global _CONV_IMPL
+    assert impl in ("auto", "xla", "pallas", "pallas_interpret"), impl
+    _CONV_IMPL = impl
+
+
+def _pick_conv_impl() -> str:
+    if _CONV_IMPL != "auto":
+        return _CONV_IMPL
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    return "pallas" if on_tpu else "xla"
+
+
+def _res_chain_cl(x_cl, units, dilations=(1, 3, 9)):
+    """Residual-unit chain on channels-last x, dispatched to the fused Pallas
+    kernel (one HBM round-trip per chain) or the XLA shifted-matmul path."""
+    impl = _pick_conv_impl()
+    if impl in ("pallas", "pallas_interpret"):
+        from echo_tts_tpu.ops.pallas_conv import res_units_cl
+
+        return res_units_cl(x_cl, units, dilations,
+                            interpret=(impl == "pallas_interpret"))
+    for u, d in zip(units, dilations):
+        x_cl = _residual_unit_cl(x_cl, u, dilation=d)
+    return x_cl
+
 
 def _causal_conv_shifted_cl(x_cl, w, b, *, kernel_size: int, dilation: int):
     """Stride-1 causal conv on channels-last (B, T, C) as kernel_size
@@ -354,10 +388,10 @@ def encoder_forward(params: dict, cfg: AEConfig, audio: jnp.ndarray) -> jnp.ndar
                                           cfg.encoder_transformer_layers)):
         d_model *= 2
         blk = p["blocks"][i]
-        if x.shape[1] <= _SHIFTED_MATMUL_MAX_CH:
+        use_pallas = _pick_conv_impl() in ("pallas", "pallas_interpret")
+        if use_pallas or x.shape[1] <= _SHIFTED_MATMUL_MAX_CH:
             x = x.transpose(0, 2, 1)
-            for j, dil in enumerate((1, 3, 9)):
-                x = _residual_unit_cl(x, blk["res_units"][j], dilation=dil)
+            x = _res_chain_cl(x, blk["res_units"])
             x = x.transpose(0, 2, 1)
         else:
             for j, dil in enumerate((1, 3, 9)):
@@ -379,14 +413,16 @@ def decoder_forward(params: dict, cfg: AEConfig, z: jnp.ndarray) -> jnp.ndarray:
     module docstring quirk note)."""
     p = params["decoder"]
     x = causal_conv(z, p["stem"], kernel_size=7)
-    cl = False  # channels-last mode for the low-channel tail
+    use_pallas = _pick_conv_impl() in ("pallas", "pallas_interpret")
+    cl = False  # channels-last mode
     for i, stride in enumerate(cfg.decoder_rates):
         blk = p["blocks"][i]
         out_ch = blk["up"]["w"].shape[1]
-        if not cl and out_ch <= _SHIFTED_MATMUL_MAX_CH:
-            # switch to channels-last for the rest of the decoder: the
-            # matmul formulations below double throughput at these widths
-            # (see _SHIFTED_MATMUL_MAX_CH note) and chain without layout flips
+        if not cl and (use_pallas or out_ch <= _SHIFTED_MATMUL_MAX_CH):
+            # switch to channels-last: with the fused Pallas res-chain kernel
+            # the whole decoder runs CL (one HBM round-trip per chain); on the
+            # XLA path only the low-channel tail benefits from the
+            # shifted-matmul formulation (see _SHIFTED_MATMUL_MAX_CH note)
             x = x.transpose(0, 2, 1)
             cl = True
         if cl:
@@ -394,8 +430,7 @@ def decoder_forward(params: dict, cfg: AEConfig, z: jnp.ndarray) -> jnp.ndarray:
             x = x + (1.0 / (a + 1e-9)) * jnp.square(jnp.sin(a * x))
             x = _causal_tconv_phase_cl(x, blk["up"]["w"], blk["up"].get("b"),
                                        kernel_size=2 * stride, stride=stride)
-            for j, dil in enumerate((1, 3, 9)):
-                x = _residual_unit_cl(x, blk["res_units"][j], dilation=dil)
+            x = _res_chain_cl(x, blk["res_units"])
         else:
             x = snake(x, blk["snake"])
             # phase-matmul tconv beats the direct lowering at every decoder
