@@ -19,6 +19,13 @@ and the CFG group axis G shares every segment's KV (grid-ordered so ctx
 blocks stay VMEM-resident across branches; the 3 guidance branches differ
 only in masks, inference.py:479-497).
 
+Masks enter the kernel as ADDITIVE fp32 biases (0 / -1e30), not bools: a
+bool `jnp.where` select on the (TQ, T) logits costs ~0.7 ms/layer in Mosaic
+(lane-broadcast relayout of the i1 mask) — 2.9x the whole kernel's dot time
+— while a broadcast fp32 add is free (scripts/bench_attention_variants.py).
+exp(l + (-1e30) - m_row) underflows to exactly 0, so the result is
+bit-identical to the select for any finite logits.
+
 At these extents (S=640, T≈3k) whole segments fit VMEM, so no online-softmax
 streaming is needed (SURVEY.md §5.7); q is tiled for MXU shape.
 """
@@ -56,14 +63,14 @@ def _kernel(*refs, scale: float, s_real: int, nseg: int):
     for i in range(nseg):
         k_ref, v_ref, m_ref, s_ref = seg_refs[4 * i : 4 * i + 4]
         k = k_ref[0, 0]       # (T, D)
-        m = m_ref[0, 0, 0]    # (T,) — mask carries a dummy axis so its block
-        #                        shape's trailing dims equal the array's
+        m = m_ref[0, 0, 0]    # (T,) fp32 additive bias (0 / -1e30); dummy
+        #                        axis so the block's trailing dims match
         s_kv = s_ref[0]       # scalar from SMEM
         scales.append(s_kv)
         l = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
         l = l * s_kv
-        l = jnp.where(m[None, :], l, _NEG)
+        l = l + m[None, :]
         logits.append(l)
 
     m_row = logits[0].max(axis=-1, keepdims=True)
@@ -146,7 +153,10 @@ def joint_attention_grouped_pallas(q, k_self, v_self, segments,
             s_arr = jnp.ones((1,), jnp.float32)
         else:
             s_arr = jnp.asarray(s_kv_scale, jnp.float32).reshape(1)
-        args += [k, v, mask[:, :, None, :], s_arr]
+        # bool -> additive fp32 bias outside the kernel (XLA-land, ~KBs);
+        # in-kernel bool selects relayout at ~0.7 ms/layer (module docstring)
+        bias = jnp.where(mask, jnp.float32(0.0), jnp.float32(_NEG))
+        args += [k, v, bias[:, :, None, :], s_arr]
 
     out = pl.pallas_call(
         functools.partial(_kernel, scale=scale, s_real=s, nseg=nseg),
