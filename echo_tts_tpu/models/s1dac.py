@@ -107,8 +107,15 @@ def causal_tconv(x, p: dict, *, kernel_size: int, stride=1):
 def snake(x, alpha):
     """x + sin^2(alpha x)/(alpha+1e-9), per-channel alpha (1, C, 1)
     (reference: autoencoder.py:96-109). Pure VPU; XLA fuses it into the
-    surrounding convs."""
-    return x + (1.0 / (alpha + 1e-9)) * jnp.square(jnp.sin(alpha * x))
+    surrounding convs.
+
+    sin² is computed with the same range-reduced degree-6 polynomial as the
+    Pallas res-chain kernel (ops/pallas_conv.py:_sin2, max |err| 2.3e-10 —
+    four orders below the 2e-5 parity tolerances): TPU `sin` costs ~40 VPU
+    ops and dominated the decoder tail (BASELINE.md 2026-08-19)."""
+    from echo_tts_tpu.ops.pallas_conv import _sin2
+
+    return x + (1.0 / (alpha + 1e-9)) * _sin2(alpha * x)
 
 
 def _layer_norm(x, w, b, eps=1e-6):

@@ -34,6 +34,29 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+# sin²(t) as a range-reduced polynomial. Mosaic's math.sin lowering costs
+# ~70% of the whole residual-chain kernel (scripts/bench_conv_kernel_variants
+# .py: 44 -> 13 ms/chain with sin removed); sin² is π-periodic and even, so
+# with r = t/π, f = r - round(r) ∈ [-½, ½], z = f² ∈ [0, ¼]:
+#     sin²(t) = z · P(z)
+# where P is a degree-6 least-squares fit on Chebyshev nodes
+# (max |err| 2.3e-10 — below fp32 eps, vs the 2e-5 kernel-parity tolerance).
+_INV_PI = 0.3183098861837907
+_SIN2_P = (9.869604400158666, -32.469696645585955, 42.72838511692447,
+           -30.12175436025362, 13.206610352068088, -3.9130777124895926,
+           0.7419801209608292)
+
+
+def _sin2(t):
+    r = t * _INV_PI
+    f = r - jnp.round(r)
+    z = f * f
+    p = jnp.float32(_SIN2_P[-1])
+    for c in _SIN2_P[-2::-1]:
+        p = p * z + jnp.float32(c)
+    return z * p
+
+
 def _res_chain_kernel(x_cur, x_prev, a1, a2, w7, b7, w1, b1, o_ref, *,
                       dilations: Sequence[int], halo: int, kernel_size: int):
     ii = pl.program_id(1)
@@ -53,7 +76,7 @@ def _res_chain_kernel(x_cur, x_prev, a1, a2, w7, b7, w1, b1, o_ref, *,
         # snake1 (fp32 on the VPU, cast back for the MXU)
         xf = x.astype(jnp.float32)
         au = a1[u].astype(jnp.float32)
-        y = (xf + (1.0 / (au + 1e-9)) * jnp.square(jnp.sin(au * xf))).astype(in_dtype)
+        y = (xf + (1.0 / (au + 1e-9)) * _sin2(au * xf)).astype(in_dtype)
         # dilated k-tap causal conv as tap-shifted in-VMEM matmuls
         pad = (kernel_size - 1) * d
         yp = jnp.concatenate(
@@ -65,7 +88,7 @@ def _res_chain_kernel(x_cur, x_prev, a1, a2, w7, b7, w1, b1, o_ref, *,
                                     preferred_element_type=jnp.float32)
         # snake2
         a2u = a2[u].astype(jnp.float32)
-        y = acc + (1.0 / (a2u + 1e-9)) * jnp.square(jnp.sin(a2u * acc))
+        y = acc + (1.0 / (a2u + 1e-9)) * _sin2(a2u * acc)
         # 1x1 conv + residual
         y = jax.lax.dot(y.astype(in_dtype), w1[u],
                         preferred_element_type=jnp.float32) + b1[u].astype(jnp.float32)

@@ -34,7 +34,7 @@ def _round_up(x, m):
 
 
 def _kernel(x_cur, x_prev, a1, a2, w7, b7, w1, b1, o_ref, *,
-            dilations, halo, live_mode, snake_dtype, tap_unroll):
+            dilations, halo, live_mode, snake_dtype, use_sin, tap_offsets):
     ii = pl.program_id(1)
     cur = x_cur[0]
     prev_tail = x_prev[0][-halo:, :]
@@ -52,20 +52,25 @@ def _kernel(x_cur, x_prev, a1, a2, w7, b7, w1, b1, o_ref, *,
                         + 1e9 * (ii > 0).astype(jnp.float32), 0.0), 1.0)
     # live_mode == "off": skip re-zeroing (WRONG at tile 0; bounds only)
 
+    def snk(z, a):
+        if not use_sin:
+            return z * a  # stand-in, wrong math: bounds sin cost
+        zf = z.astype(snake_dtype)
+        af = a.astype(snake_dtype)
+        return (zf + (1.0 / (af + 1e-9)) * jnp.square(jnp.sin(af * zf)))
+
     for u, d in enumerate(dilations):
-        xf = x.astype(snake_dtype)
-        au = a1[u].astype(snake_dtype)
-        y = (xf + (1.0 / (au + 1e-9)) * jnp.square(jnp.sin(au * xf))).astype(in_dtype)
+        y = snk(x, a1[u]).astype(in_dtype)
         pad = (KS - 1) * d
         yp = jnp.concatenate(
             [jnp.zeros((pad,) + y.shape[1:], in_dtype), y], axis=0)
         acc = jnp.broadcast_to(b7[u].astype(jnp.float32)[None, :],
                                (twin, b7.shape[-1]))
         for j in range(KS):
-            acc = acc + jax.lax.dot(yp[j * d: j * d + twin], w7[u, j],
+            off = (j * d) if tap_offsets else 0  # offset 0: aligned, WRONG math
+            acc = acc + jax.lax.dot(yp[off: off + twin], w7[u, j],
                                     preferred_element_type=jnp.float32)
-        a2u = a2[u].astype(jnp.float32)
-        y = acc + (1.0 / (a2u + 1e-9)) * jnp.square(jnp.sin(a2u * acc))
+        y = snk(acc, a2[u].astype(jnp.float32))
         y = jax.lax.dot(y.astype(in_dtype), w1[u],
                         preferred_element_type=jnp.float32) + b1[u].astype(jnp.float32)
         x = (x.astype(jnp.float32) + y).astype(in_dtype)
@@ -77,8 +82,94 @@ def _kernel(x_cur, x_prev, a1, a2, w7, b7, w1, b1, o_ref, *,
     o_ref[0] = x[halo:, :]
 
 
+def _kernel_cf(x_cur, x_prev, a1, a2, w7, b7, w1, b1, o_ref, *,
+               dilations, halo, use_sin):
+    """Channels-first layout: x (C, T) — time on LANES, so the per-tap shift
+    is a lane shift (cheap shuffle) instead of an unaligned sublane slice
+    (whole-window relayout)."""
+    ii = pl.program_id(1)
+    cur = x_cur[0]                       # (C, TQ)
+    prev_tail = x_prev[0][:, -halo:]
+    prev_tail = jnp.where(ii == 0, jnp.zeros_like(prev_tail), prev_tail)
+    x = jnp.concatenate([prev_tail, cur], axis=1)   # (C, H + TQ)
+    twin = x.shape[1]
+    in_dtype = x.dtype
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, twin), 1)
+    live_f = jnp.minimum(
+        jnp.maximum((col - halo + 1).astype(jnp.float32)
+                    + 1e9 * (ii > 0).astype(jnp.float32), 0.0), 1.0)
+
+    def snk(z, a):
+        # a: (C,) per-channel alpha -> column (C, 1), broadcast over lanes
+        zf = z.astype(jnp.float32)
+        af = a.astype(jnp.float32)[:, None]
+        out = zf + (1.0 / (af + 1e-9)) * jnp.square(jnp.sin(af * zf))
+        return out if use_sin else zf * af
+
+    for u, d in enumerate(dilations):
+        y = snk(x, a1[u]).astype(in_dtype)
+        pad = (KS - 1) * d
+        yp = jnp.concatenate(
+            [jnp.zeros(y.shape[:1] + (pad,), in_dtype), y], axis=1)
+        acc = jnp.broadcast_to(b7[u].astype(jnp.float32)[:, None],
+                               (b7.shape[-1], twin))
+        for j in range(KS):
+            # w7[u, j]: (C_in, C_out); contract C_in with xs rows
+            acc = acc + jax.lax.dot_general(
+                w7[u, j], yp[:, j * d: j * d + twin],
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        y = snk(acc, a2[u])
+        y = jax.lax.dot_general(w1[u], y.astype(in_dtype),
+                                (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32) \
+            + b1[u].astype(jnp.float32)[:, None]
+        x = (x.astype(jnp.float32) + y).astype(in_dtype)
+        x = x * live_f.astype(in_dtype)
+
+    o_ref[0] = x[:, halo:]
+
+
+def res_chain_cf(x, units, *, use_sin=True, tile_t=2048):
+    """x: (B, C, T) channels-first."""
+    b, c, t = x.shape
+    n = len(units)
+    halo = _round_up(sum((KS - 1) * d for d in DILS), 128)
+    tq = tile_t
+    pad_t = _round_up(max(t, tq), tq) - t
+    xp = jnp.pad(x, ((0, 0), (0, 0), (0, pad_t))) if pad_t else x
+    nt = xp.shape[2] // tq
+
+    a1 = jnp.stack([u["snake1"].reshape(-1) for u in units])
+    a2 = jnp.stack([u["snake2"].reshape(-1) for u in units])
+    # (U, K, C_in, C_out)
+    w7 = jnp.stack([jnp.transpose(u["conv1"]["w"], (2, 1, 0)) for u in units])
+    b7 = jnp.stack([u["conv1"]["b"] for u in units])
+    w1 = jnp.stack([jnp.transpose(u["conv2"]["w"], (2, 1, 0))[0] for u in units])
+    b1 = jnp.stack([u["conv2"]["b"] for u in units])
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_cf, dilations=DILS, halo=halo,
+                          use_sin=use_sin),
+        grid=(b, nt),
+        in_specs=[
+            pl.BlockSpec((1, c, tq), lambda bb, ii: (bb, 0, ii)),
+            pl.BlockSpec((1, c, tq), lambda bb, ii: (bb, 0, jnp.maximum(ii - 1, 0))),
+            pl.BlockSpec((n, c), lambda bb, ii: (0, 0)),
+            pl.BlockSpec((n, c), lambda bb, ii: (0, 0)),
+            pl.BlockSpec((n, KS, c, c), lambda bb, ii: (0, 0, 0, 0)),
+            pl.BlockSpec((n, c), lambda bb, ii: (0, 0)),
+            pl.BlockSpec((n, c, c), lambda bb, ii: (0, 0, 0)),
+            pl.BlockSpec((n, c), lambda bb, ii: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, c, tq), lambda bb, ii: (bb, 0, ii)),
+        out_shape=jax.ShapeDtypeStruct(xp.shape, x.dtype),
+    )(xp, xp, a1, a2, w7, b7, w1, b1)
+    return out[:, :, :t] if pad_t else out
+
+
 def res_chain(x, units, *, live_mode="where", snake_dtype=jnp.float32,
-              tile_t=None, tap_unroll=True):
+              tile_t=None, use_sin=True, tap_offsets=True):
     b, t, c = x.shape
     n = len(units)
     halo = _round_up(sum((KS - 1) * d for d in DILS), 16)
@@ -102,7 +193,7 @@ def res_chain(x, units, *, live_mode="where", snake_dtype=jnp.float32,
     out = pl.pallas_call(
         functools.partial(_kernel, dilations=DILS, halo=halo,
                           live_mode=live_mode, snake_dtype=snake_dtype,
-                          tap_unroll=tap_unroll),
+                          use_sin=use_sin, tap_offsets=tap_offsets),
         grid=(b, nt),
         in_specs=[
             pl.BlockSpec((1, tq, c), lambda bb, ii: (bb, ii, 0)),
@@ -181,12 +272,28 @@ def main():
                 return lambda x, *rest: run(x, rest[-1], *rest[:-1])
             res[f"c{c} {name}"] = timed_slope(f"c{c} {name}", make_run, x, *flat)
 
+        def bench_cf(name, **kw):
+            xcf = jnp.transpose(x, (0, 2, 1))
+
+            def make_run(inner):
+                @jax.jit
+                def run(xcf, salt, *fs):
+                    units = rebuild(fs)
+
+                    def body(z, i):
+                        y = res_chain_cf(z, units, **kw)
+                        return z + (1e-6 * salt.astype(z.dtype)) * y, None
+                    z, _ = jax.lax.scan(body, xcf, jnp.arange(inner))
+                    return z.mean().astype(jnp.float32)
+                return lambda xx, *rest: run(xx, rest[-1], *rest[:-1])
+            res[f"c{c} {name}"] = timed_slope(f"c{c} {name}", make_run, xcf,
+                                              *flat)
+
         bench("where (prod-like)")
-        bench("mult", live_mode="mult")
-        bench("no-zeroing (bounds)", live_mode="off")
-        bench("mult snake-bf16", live_mode="mult", snake_dtype=jnp.bfloat16)
-        bench("mult tile2048", live_mode="mult", tile_t=2048)
-        bench("mult tile4096", live_mode="mult", tile_t=4096)
+        bench("no-sin (bounds)", use_sin=False)
+        bench("taps-offset0 (bounds)", tap_offsets=False)
+        bench_cf("CF time-on-lanes")
+        bench_cf("CF no-sin (bounds)", use_sin=False)
 
     print(json.dumps({k: round(v, 3) for k, v in res.items()}))
 
