@@ -372,14 +372,19 @@ def _causal_tconv_phase_cl(x_cl, w, b, *, kernel_size: int, stride: int):
     return y
 
 
+def _snake_cl(x_cl, alpha_flat):
+    """Channels-last snake with the polynomial sin² (see `snake`)."""
+    from echo_tts_tpu.ops.pallas_conv import _sin2
+
+    return x_cl + (1.0 / (alpha_flat + 1e-9)) * _sin2(alpha_flat * x_cl)
+
+
 def _residual_unit_cl(x_cl, p, *, dilation):
     """Channels-last residual unit (same math as _residual_unit)."""
-    a1 = p["snake1"].reshape(-1)
-    a2 = p["snake2"].reshape(-1)
-    y = x_cl + (1.0 / (a1 + 1e-9)) * jnp.square(jnp.sin(a1 * x_cl))
+    y = _snake_cl(x_cl, p["snake1"].reshape(-1))
     y = _causal_conv_shifted_cl(y, p["conv1"]["w"], p["conv1"].get("b"),
                                 kernel_size=7, dilation=dilation)
-    y = y + (1.0 / (a2 + 1e-9)) * jnp.square(jnp.sin(a2 * y))
+    y = _snake_cl(y, p["snake2"].reshape(-1))
     y = _causal_conv_shifted_cl(y, p["conv2"]["w"], p["conv2"].get("b"),
                                 kernel_size=1, dilation=1)
     return x_cl + y
@@ -433,8 +438,7 @@ def decoder_forward(params: dict, cfg: AEConfig, z: jnp.ndarray) -> jnp.ndarray:
             x = x.transpose(0, 2, 1)
             cl = True
         if cl:
-            a = blk["snake"].reshape(-1)
-            x = x + (1.0 / (a + 1e-9)) * jnp.square(jnp.sin(a * x))
+            x = _snake_cl(x, blk["snake"].reshape(-1))
             x = _causal_tconv_phase_cl(x, blk["up"]["w"], blk["up"].get("b"),
                                        kernel_size=2 * stride, stride=stride)
             x = _res_chain_cl(x, blk["res_units"])
@@ -448,8 +452,7 @@ def decoder_forward(params: dict, cfg: AEConfig, z: jnp.ndarray) -> jnp.ndarray:
             for j, dil in enumerate((1, 3, 9)):
                 x = _residual_unit(x, blk["res_units"][j], dilation=dil)
     if cl:
-        a = p["head_snake"].reshape(-1)
-        x = x + (1.0 / (a + 1e-9)) * jnp.square(jnp.sin(a * x))
+        x = _snake_cl(x, p["head_snake"].reshape(-1))
         x = _causal_conv_shifted_cl(x, p["head"]["w"], p["head"].get("b"),
                                     kernel_size=7, dilation=1)
         return jnp.tanh(x).transpose(0, 2, 1)

@@ -52,11 +52,14 @@ def _kernel(*refs, scale: float, s_real: int, nseg: int):
 
     ls = jax.lax.dot_general(q, ks, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32) * scale
-    # mask padded self rows (q/k_self padded to a tile multiple by the wrapper)
+    # mask padded self rows (q/k_self padded to a tile multiple by the
+    # wrapper) — arithmetic bias, not a select (selects relayout; docstring)
     s_pad = ks.shape[0]
     if s_pad != s_real:
         col = jax.lax.broadcasted_iota(jnp.int32, ls.shape, 1)
-        ls = jnp.where(col < s_real, ls, _NEG)
+        pad_bias = jnp.maximum(jnp.minimum(
+            (s_real - 1 - col).astype(jnp.float32), 0.0), -1.0) * (-_NEG)
+        ls = ls + pad_bias
 
     logits = [ls]
     scales = []
