@@ -50,6 +50,11 @@ STEPS = 40
 
 
 def main():
+    # --batch N: N utterances on the one chip (config-5-style serving shape);
+    # default 1 is the headline the driver records
+    batch = 1
+    if "--batch" in sys.argv:
+        batch = int(sys.argv[sys.argv.index("--batch") + 1])
     dit_cfg = DiTConfig(has_latent_modules=False)
     ae_cfg = AEConfig()
     sc = SamplerConfig(num_steps=STEPS, cfg_scale_text=3.0, cfg_scale_speaker=8.0,
@@ -68,12 +73,12 @@ def main():
     print(f"# init {time.time()-t0:.1f}s", file=sys.stderr)
 
     ks = jax.random.split(key, 3)
-    ids = jax.random.randint(ks[0], (1, TEXT), 0, 256)
-    text_mask = jnp.ones((1, TEXT), jnp.bool_)
-    speaker_latent = jax.random.normal(ks[1], (1, SPK, dit_cfg.latent_size),
+    ids = jax.random.randint(ks[0], (batch, TEXT), 0, 256)
+    text_mask = jnp.ones((batch, TEXT), jnp.bool_)
+    speaker_latent = jax.random.normal(ks[1], (batch, SPK, dit_cfg.latent_size),
                                        dtype=jnp.float32)
-    speaker_mask = jnp.ones((1, SPK), jnp.bool_)
-    noise = draw_noise(0, (1, SEQ, dit_cfg.latent_size))
+    speaker_mask = jnp.ones((batch, SPK), jnp.bool_)
+    noise = draw_noise(0, (batch, SEQ, dit_cfg.latent_size))
 
     from functools import partial
 
@@ -103,7 +108,8 @@ def main():
 
     # distinct noises per repeat: identical executions can be served from a
     # relay-side cache
-    noises = [draw_noise(i + 1, (1, SEQ, dit_cfg.latent_size)) for i in range(3)]
+    noises = [draw_noise(i + 1, (batch, SEQ, dit_cfg.latent_size))
+              for i in range(3)]
     times, sample_t, voc_t = [], [], []
     for i in range(3):
         t0 = time.time()
@@ -120,12 +126,13 @@ def main():
         times.append(t2 - t0)
 
     wall = min(times)
-    audio_seconds = SEQ * ae_cfg.frame_length / ae_cfg.sample_rate  # 29.72 s
+    audio_seconds = batch * SEQ * ae_cfg.frame_length / ae_cfg.sample_rate
     value = audio_seconds / wall
     print(f"# sample {min(sample_t)*1e3:.0f}ms ({min(sample_t)*1e3/STEPS:.1f}ms/step), "
           f"vocoder {min(voc_t)*1e3:.0f}ms, audio {audio.shape}", file=sys.stderr)
     print(json.dumps({
-        "metric": "audio-seconds/s/chip, 40-step dual-CFG Euler @640 latents + S1-DAC decode",
+        "metric": ("audio-seconds/s/chip, 40-step dual-CFG Euler @640 latents"
+                   " + S1-DAC decode" + (f", batch={batch}" if batch > 1 else "")),
         "value": round(value, 3),
         "unit": "audio_s_per_s_per_chip",
         "vs_baseline": round(value / 1.0, 3),
