@@ -220,15 +220,44 @@ def _joint_attention_grouped(q, k_self, v_self, segments):
     if impl in ("pallas", "pallas_interpret"):
         from echo_tts_tpu.ops.pallas_attention import joint_attention_grouped_pallas
 
+        interp = impl == "pallas_interpret"
+        g = q.shape[0]
+        skips = [tuple(s[4]) if len(s) > 4 else () for s in segments]
+        if g > 1 and any(skips):
+            # Static per-branch segment filtering: a CFG uncond branch whose
+            # mask zeroes a whole segment (reference inference.py:489-497)
+            # gets its own pallas_call WITHOUT that segment — the dots for
+            # fully-masked keys are dead work (26% of attention FLOPs in the
+            # 3-branch window). Equivalent by construction: a fully-masked
+            # segment contributes exp(-1e30)=0 to softmax and output. An
+            # in-kernel lax.cond skip was tried and measured SLOWER (50.7 vs
+            # 44.8 ms CFG forward — predication defeats the MXU pipeline).
+            visible = [tuple(i for i, sk in enumerate(skips) if gi not in sk)
+                       for gi in range(g)]
+            outs = []
+            gi = 0
+            while gi < g:  # contiguous branches with equal signatures share a call
+                gj = gi + 1
+                while gj < g and visible[gj] == visible[gi]:
+                    gj += 1
+                segs = [(segments[i][0], segments[i][1],
+                         segments[i][2][gi:gj], segments[i][3])
+                        for i in visible[gi]]
+                outs.append(joint_attention_grouped_pallas(
+                    q[gi:gj], k_self[gi:gj], v_self[gi:gj], segs,
+                    interpret=interp))
+                gi = gj
+            return jnp.concatenate(outs, axis=0)
         return joint_attention_grouped_pallas(
-            q, k_self, v_self, segments,
-            interpret=(impl == "pallas_interpret"))
+            q, k_self, v_self, [s[:4] for s in segments], interpret=interp)
     g, b, h, s, d = q.shape
     scale = 1.0 / jnp.sqrt(jnp.float32(d))
     l_self = jnp.einsum("gbhsd,gbhtd->gbhst", q, k_self,
                         preferred_element_type=jnp.float32) * scale
     logits = [l_self]
-    for k, v, mask, s_kv in segments:
+    for seg in segments:
+        k, v, mask, s_kv = seg[:4]  # optional 5th (branch skips) is a
+        #                              Pallas-only fast path; masks subsume it
         l = jnp.einsum("gbhsd,bhtd->gbhst", q, k,
                        preferred_element_type=jnp.float32) * scale
         if s_kv is not None:
@@ -240,7 +269,8 @@ def _joint_attention_grouped(q, k_self, v_self, segments):
     out = jnp.einsum("gbhst,gbhtd->gbhsd", w[..., :s], v_self,
                      preferred_element_type=jnp.float32)
     off = s
-    for k, v, mask, s_kv in segments:
+    for seg in segments:
+        k, v, mask, s_kv = seg[:4]
         t = k.shape[2]
         o = jnp.einsum("gbhst,bhtd->gbhsd", w[..., off:off + t], v,
                        preferred_element_type=jnp.float32)
@@ -264,6 +294,8 @@ def _dit_forward_grouped(
     kv_latent: Optional[Tuple[jnp.ndarray, jnp.ndarray]],
     latent_mask: Optional[jnp.ndarray],           # (G, B, T_lat) bool
     speaker_kv_scale: Optional[jnp.ndarray],      # (L,) use-site scale or None
+    branch_skips: Tuple[tuple, tuple] = ((), ()), # static: CFG branches whose
+    #   mask fully zeroes (text, speaker) — lets the Pallas kernel skip dots
 ) -> jnp.ndarray:
     """Core trunk (reference: model.py:563-604). Returns fp32 (G, B, S, D_lat)."""
     g, b, s, _ = x.shape
@@ -318,9 +350,11 @@ def _dit_forward_grouped(
         # (model.py:246-253)
         segments = []
         if has_latent:
-            segments.append((per["kl_k"], per["kl_v"], latent_mask, None))
-        segments.append((per["kt_k"], per["kt_v"], text_mask, None))
-        segments.append((per["ks_k"], per["ks_v"], spk_mask, skv))
+            segments.append((per["kl_k"], per["kl_v"], latent_mask, None, ()))
+        segments.append((per["kt_k"], per["kt_v"], text_mask, None,
+                         branch_skips[0]))
+        segments.append((per["ks_k"], per["ks_v"], spk_mask, skv,
+                         branch_skips[1]))
 
         o = _joint_attention_grouped(q, k_self, v_self, segments)
         o = o.transpose(0, 1, 3, 2, 4).reshape(g, b, s, cfg.model_size)
@@ -396,13 +430,16 @@ def dit_forward_cfg(
         # (reference comment at inference.py:530)
         text_m = jnp.stack([text_mask, jnp.zeros_like(text_mask)])
         spk_m = jnp.stack([spk, jnp.zeros_like(spk)])
+        branch_skips = ((1,), (1,))
     else:
         text_m = jnp.stack([text_mask, jnp.zeros_like(text_mask), text_mask])
         spk_m = jnp.stack([spk, spk, jnp.zeros_like(spk)])
+        branch_skips = ((1,), (2,))
     xg = jnp.broadcast_to(x[None], (n_groups,) + x.shape)
     return _dit_forward_grouped(
         params, cfg, xg, t, text_m, spk_m, kv_text, kv_speaker,
-        rope_q, kv_latent if has_latent else None, lm, speaker_kv_scale)
+        rope_q, kv_latent if has_latent else None, lm, speaker_kv_scale,
+        branch_skips=branch_skips)
 
 
 # ---------------------------------------------------------------------------

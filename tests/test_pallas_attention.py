@@ -58,6 +58,33 @@ def test_pallas_with_kv_scale():
                                atol=1e-5, rtol=1e-4)
 
 
+def test_branch_split_segment_skip():
+    """CFG branch-split dispatch: segments carrying static skip-branch info
+    (5th tuple element) route through per-branch pallas_calls that drop the
+    segment entirely; result must match the mask-only grouped path exactly
+    (a fully-masked segment contributes exp(-1e30)=0)."""
+    from echo_tts_tpu.models import dit as dit_mod
+
+    g, b, s, h, d = 3, 1, 64, 2, 128
+    q, ks_, vs_, segs = _mk(g, b, s, h, d, (96, 160), seed=7,
+                            scales=[None, jnp.float32(1.3)])
+    # branch 1 fully masks segment 0 (text-uncond); branch 2 masks segment 1
+    (k1, v1, m1, s1), (k2, v2, m2, s2) = segs
+    m1 = m1.at[1].set(False)
+    m2 = m2.at[2].set(False)
+    segs_mask = [(k1, v1, m1, s1), (k2, v2, m2, s2)]
+    segs_skip = [(k1, v1, m1, s1, (1,)), (k2, v2, m2, s2, (2,))]
+    ref = _joint_attention_grouped(q, ks_, vs_, segs_mask)
+    prev = dit_mod._ATTN_IMPL
+    dit_mod.set_attention_impl("pallas_interpret")
+    try:
+        out = _joint_attention_grouped(q, ks_, vs_, segs_skip)
+    finally:
+        dit_mod.set_attention_impl(prev)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-4)
+
+
 def test_pallas_fully_masked_ctx():
     """All ctx masked (uncond branches mask whole segments) — softmax must
     fall back to self-only attention, no NaNs."""
