@@ -202,11 +202,13 @@ def _pick_attention_impl(d: int) -> str:
     return "pallas" if (on_tpu and d % 128 == 0) else "xla"
 
 
-def _joint_attention_grouped(q, k_self, v_self, segments):
-    """Segmented joint attention, head-major layouts.
+def _joint_attention_grouped(q, k_self, v_self, segments, layout: str = "hm"):
+    """Segmented joint attention.
 
-    q, k_self, v_self: (G, B, H, S, Dh) — self keys are per-group (x diverges
-    across CFG branches after layer 0). segments: list of
+    q, k_self, v_self: (G, B, H, S, Dh) head-major (layout="hm") or
+    (G, B, S, H, Dh) seq-major (layout="sm", Pallas path only — avoids the
+    XLA transpose copies around the kernel). Self keys are per-group (x
+    diverges across CFG branches after layer 0). segments: list of
     (k (B, H, T, Dh), v (B, H, T, Dh), mask (G, B, T) bool, scale) where
     scale is a traced scalar or None — the "force speaker" KV multiplier
     applied at use-site: logits*s and value-contribution*s are exactly
@@ -214,7 +216,7 @@ def _joint_attention_grouped(q, k_self, v_self, segments):
     the way into the kernel: no concatenated-context materialization per
     layer, and the ctx KV reads broadcast across the CFG group axis.
     Self keys are always visible (reference: model.py:249). fp32 softmax.
-    Returns (G, B, H, S, Dh).
+    Returns the same layout as q.
     """
     impl = _pick_attention_impl(q.shape[-1])
     if impl in ("pallas", "pallas_interpret"):
@@ -245,11 +247,18 @@ def _joint_attention_grouped(q, k_self, v_self, segments):
                         for i in visible[gi]]
                 outs.append(joint_attention_grouped_pallas(
                     q[gi:gj], k_self[gi:gj], v_self[gi:gj], segs,
-                    interpret=interp))
+                    interpret=interp, layout=layout))
                 gi = gj
             return jnp.concatenate(outs, axis=0)
         return joint_attention_grouped_pallas(
-            q, k_self, v_self, [s[:4] for s in segments], interpret=interp)
+            q, k_self, v_self, [s[:4] for s in segments], interpret=interp,
+            layout=layout)
+    if layout == "sm":  # XLA path computes head-major
+        q = q.transpose(0, 1, 3, 2, 4)
+        k_self = k_self.transpose(0, 1, 3, 2, 4)
+        v_self = v_self.transpose(0, 1, 3, 2, 4)
+        out = _joint_attention_grouped(q, k_self, v_self, segments, "hm")
+        return out.transpose(0, 1, 3, 2, 4)
     g, b, h, s, d = q.shape
     scale = 1.0 / jnp.sqrt(jnp.float32(d))
     l_self = jnp.einsum("gbhsd,gbhtd->gbhst", q, k_self,
@@ -341,10 +350,14 @@ def _dit_forward_grouped(
         k_self = rms_norm(k_self, a["k_norm"], eps)
         q = apply_rope_half_heads(q, cos_q, sin_q)
         k_self = apply_rope_half_heads(k_self, cos_q, sin_q)
-        # to head-major (G, B, H, S, Dh) for the attention kernel
-        q = q.transpose(0, 1, 3, 2, 4)
-        k_self = k_self.transpose(0, 1, 3, 2, 4)
-        v_self = v_self.transpose(0, 1, 3, 2, 4)
+        # the Pallas kernel reads the projections' natural seq-major
+        # (G, B, S, H, Dh) layout directly (lane-aligned head blocks); only
+        # the XLA einsum path wants head-major
+        seq_major = _pick_attention_impl(dh) in ("pallas", "pallas_interpret")
+        if not seq_major:
+            q = q.transpose(0, 1, 3, 2, 4)
+            k_self = k_self.transpose(0, 1, 3, 2, 4)
+            v_self = v_self.transpose(0, 1, 3, 2, 4)
 
         # segment order matches reference concat [latent|text|speaker]
         # (model.py:246-253)
@@ -356,8 +369,11 @@ def _dit_forward_grouped(
         segments.append((per["ks_k"], per["ks_v"], spk_mask, skv,
                          branch_skips[1]))
 
-        o = _joint_attention_grouped(q, k_self, v_self, segments)
-        o = o.transpose(0, 1, 3, 2, 4).reshape(g, b, s, cfg.model_size)
+        o = _joint_attention_grouped(q, k_self, v_self, segments,
+                                     layout="sm" if seq_major else "hm")
+        if not seq_major:
+            o = o.transpose(0, 1, 3, 2, 4)
+        o = o.reshape(g, b, s, cfg.model_size)
         o = o * jax.nn.sigmoid(gate)
         x = x + attn_gate * (o @ a["wo"])
 

@@ -41,14 +41,23 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG = -1e30  # plain float: jnp scalars would be captured consts inside the kernel
 
 
-def _kernel(*refs, scale: float, s_real: int, nseg: int):
+def _kernel(*refs, scale: float, s_real: int, nseg: int, seq_major: bool):
     q_ref, ks_ref, vs_ref = refs[0], refs[1], refs[2]
     seg_refs = refs[3:3 + 4 * nseg]
     o_ref = refs[3 + 4 * nseg]
 
-    q = q_ref[0, 0, 0]        # (TQ, D)
-    ks = ks_ref[0, 0, 0]      # (S, D)
-    vs = vs_ref[0, 0, 0]
+    if seq_major:
+        # blocks are head-sized lane slices of (G, B, S, H*D) — the
+        # projections' natural layout; no XLA head-major transpose copies
+        # around the kernel (Mosaic wants the last two block dims tiled, so
+        # the head is a lane-block of the flattened H*D axis, D=128-aligned)
+        q = q_ref[0, 0]           # (TQ, D)
+        ks = ks_ref[0, 0]         # (S, D)
+        vs = vs_ref[0, 0]
+    else:
+        q = q_ref[0, 0, 0]        # (TQ, D)
+        ks = ks_ref[0, 0, 0]      # (S, D)
+        vs = vs_ref[0, 0, 0]
 
     ls = jax.lax.dot_general(q, ks, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32) * scale
@@ -94,7 +103,10 @@ def _kernel(*refs, scale: float, s_real: int, nseg: int):
         contrib = jax.lax.dot_general(w, v, (((1,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
         o = o + contrib * scales[i]
-    o_ref[0, 0, 0] = o.astype(o_ref.dtype)
+    if seq_major:
+        o_ref[0, 0] = o.astype(o_ref.dtype)
+    else:
+        o_ref[0, 0, 0] = o.astype(o_ref.dtype)
 
 
 def _pad_to(x, axis, mult):
@@ -108,17 +120,32 @@ def _pad_to(x, axis, mult):
 
 
 def joint_attention_grouped_pallas(q, k_self, v_self, segments,
-                                   interpret: bool = False):
-    """q/k_self/v_self: (G, B, H, S, D) head-major; segments: list of
+                                   interpret: bool = False,
+                                   layout: str = "hm"):
+    """q/k_self/v_self: (G, B, H, S, D) head-major (layout="hm") or
+    (G, B, S, H, D) seq-major (layout="sm" — the projections' natural shape;
+    skips the XLA transpose copies around the kernel, the head slice is a
+    lane-aligned block since D=128). segments: list of
     (k (B, H, T, D), v, mask (G, B, T) bool, scale scalar or None).
-    Returns (G, B, H, S, D) in v dtype — same contract as
+    Returns the same layout as q, in v dtype — same contract as
     models.dit._joint_attention_grouped.
 
     Unaligned T is handled by Mosaic's internal tile padding (measured within
     noise of a 128-aligned T at these sizes), so no host-visible padding of
     the big KV tensors; only q rows pad to the tile multiple.
     """
-    g, b, h, s, d = q.shape
+    seq_major = layout == "sm"
+    if seq_major:
+        g, b, s, h, d = q.shape
+        s_axis = 2
+        # flatten heads into lanes: the kernel slices head hh as the 128-wide
+        # lane block at offset hh*d (free reshape, contiguous)
+        q = q.reshape(g, b, s, h * d)
+        k_self = k_self.reshape(g, b, k_self.shape[2], h * d)
+        v_self = v_self.reshape(g, b, v_self.shape[2], h * d)
+    else:
+        g, b, h, s, d = q.shape
+        s_axis = 3
     nseg = len(segments)
     scale = 1.0 / (d ** 0.5)
     # prefer 320-row q tiles (640 = 2x320); fall back to 128, then whole-S
@@ -129,20 +156,27 @@ def joint_attention_grouped_pallas(q, k_self, v_self, segments,
     else:
         tq = min(128, max(8, s))
 
-    qt = _pad_to(q, 3, tq)
-    kst = _pad_to(k_self, 3, 8)
-    vst = _pad_to(v_self, 3, 8)
-    s_pad = qt.shape[3]
-    s_kv = kst.shape[3]
+    qt = _pad_to(q, s_axis, tq)
+    kst = _pad_to(k_self, s_axis, 8)
+    vst = _pad_to(v_self, s_axis, 8)
+    s_pad = qt.shape[s_axis]
+    s_kv = kst.shape[s_axis]
     n_qt = s_pad // tq
 
     grid = (b, h, n_qt, g)  # g innermost: ctx blocks stay resident across branches
 
-    in_specs = [
-        pl.BlockSpec((1, 1, 1, tq, d), lambda bb, hh, qq, gg: (gg, bb, hh, qq, 0)),
-        pl.BlockSpec((1, 1, 1, s_kv, d), lambda bb, hh, qq, gg: (gg, bb, hh, 0, 0)),
-        pl.BlockSpec((1, 1, 1, s_kv, d), lambda bb, hh, qq, gg: (gg, bb, hh, 0, 0)),
-    ]
+    if seq_major:
+        in_specs = [
+            pl.BlockSpec((1, 1, tq, d), lambda bb, hh, qq, gg: (gg, bb, qq, hh)),
+            pl.BlockSpec((1, 1, s_kv, d), lambda bb, hh, qq, gg: (gg, bb, 0, hh)),
+            pl.BlockSpec((1, 1, s_kv, d), lambda bb, hh, qq, gg: (gg, bb, 0, hh)),
+        ]
+    else:
+        in_specs = [
+            pl.BlockSpec((1, 1, 1, tq, d), lambda bb, hh, qq, gg: (gg, bb, hh, qq, 0)),
+            pl.BlockSpec((1, 1, 1, s_kv, d), lambda bb, hh, qq, gg: (gg, bb, hh, 0, 0)),
+            pl.BlockSpec((1, 1, 1, s_kv, d), lambda bb, hh, qq, gg: (gg, bb, hh, 0, 0)),
+        ]
     args = [qt, kst, vst]
     for k, v, mask, s_kv_scale in segments:
         t = k.shape[2]
@@ -161,14 +195,25 @@ def joint_attention_grouped_pallas(q, k_self, v_self, segments,
         bias = jnp.where(mask, jnp.float32(0.0), jnp.float32(_NEG))
         args += [k, v, bias[:, :, None, :], s_arr]
 
+    if seq_major:
+        out_spec = pl.BlockSpec((1, 1, tq, d),
+                                lambda bb, hh, qq, gg: (gg, bb, qq, hh))
+        out_shape = jax.ShapeDtypeStruct((g, b, s_pad, h * d), v_self.dtype)
+    else:
+        out_spec = pl.BlockSpec((1, 1, 1, tq, d),
+                                lambda bb, hh, qq, gg: (gg, bb, hh, qq, 0))
+        out_shape = jax.ShapeDtypeStruct((g, b, h, s_pad, d), v_self.dtype)
+
     out = pl.pallas_call(
-        functools.partial(_kernel, scale=scale, s_real=s, nseg=nseg),
+        functools.partial(_kernel, scale=scale, s_real=s, nseg=nseg,
+                          seq_major=seq_major),
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, 1, tq, d),
-                               lambda bb, hh, qq, gg: (gg, bb, hh, qq, 0)),
-        out_shape=jax.ShapeDtypeStruct((g, b, h, s_pad, d), v_self.dtype),
+        out_specs=out_spec,
+        out_shape=out_shape,
         interpret=interpret,
     )(*args)
 
+    if seq_major:
+        return out[:, :, :s].reshape(g, b, s, h, d)
     return out[:, :, :, :s]
