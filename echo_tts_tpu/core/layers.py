@@ -63,3 +63,39 @@ def low_rank_adaln(x: jnp.ndarray, cond_embed: jnp.ndarray, p: dict, eps: float)
 def swiglu_mlp(x: jnp.ndarray, p: dict) -> jnp.ndarray:
     """w2(silu(w1 x) * w3 x) (reference: model.py:296-308)."""
     return (jax.nn.silu(x @ p["w1"]) * (x @ p["w3"])) @ p["w2"]
+
+
+def precompute_adaln(cond_embed: jnp.ndarray, p: dict):
+    """All-layer batched AdaLN refinement (same math as `low_rank_adaln`'s
+    refine, reference model.py:46-75, but with the layer axis L batched into
+    three einsum pairs instead of 6 tiny rank-r GEMMs per layer inside the
+    trunk scan — the per-layer (B,3D)x(D,r) GEMMs are latency-bound at B=1).
+
+    cond_embed: (B, 1, 3D); p: stacked AdaLN params with leading L axis.
+    Returns (shift, scale, gate) each (L, B, 1, D); gate is already tanh'ed
+    (model.py:79). Consumed per layer by `modulate_rms`.
+    """
+    shift, scale, gate = jnp.split(cond_embed, 3, axis=-1)
+
+    def refine(y, down, up):
+        z = jax.nn.silu(y)
+        z = jnp.einsum("bod,ldr->lbor", z, down)
+        z = jnp.einsum("lbor,lrd->lbod", z, up["w"]) + up["b"][:, None, None]
+        return z + y[None]
+
+    shift = refine(shift, p["shift_down"], p["shift_up"])
+    scale = refine(scale, p["scale_down"], p["scale_up"])
+    gate = jnp.tanh(refine(gate, p["gate_down"], p["gate_up"]))
+    return shift, scale, gate
+
+
+def modulate_rms(x: jnp.ndarray, shift: jnp.ndarray, scale: jnp.ndarray,
+                 eps: float) -> jnp.ndarray:
+    """fp32 weightless RMS-norm + shift/scale modulation — the per-layer tail
+    of LowRankAdaLN (reference: model.py:76-78) with the refinements
+    precomputed by `precompute_adaln`."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    xf = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    xf = xf * (scale.astype(jnp.float32) + 1.0) + shift.astype(jnp.float32)
+    return xf.astype(dtype)

@@ -26,7 +26,13 @@ import jax
 import jax.numpy as jnp
 
 from echo_tts_tpu.core.config import DiTConfig
-from echo_tts_tpu.core.layers import low_rank_adaln, rms_norm, swiglu_mlp, timestep_embedding
+from echo_tts_tpu.core.layers import (
+    modulate_rms,
+    precompute_adaln,
+    rms_norm,
+    swiglu_mlp,
+    timestep_embedding,
+)
 from echo_tts_tpu.core.rope import apply_rope, apply_rope_half_heads, precompute_rope
 from echo_tts_tpu.ops.attention import sdpa
 
@@ -329,8 +335,21 @@ def _dit_forward_grouped(
     ks_k, ks_v = kv_speaker
     has_latent = kv_latent is not None and kv_latent[0].shape[3] > 0
 
-    per = {"p": params["blocks"], "kt_k": kt_k, "kt_v": kt_v,
-           "ks_k": ks_k, "ks_v": ks_v}
+    # all-layer AdaLN refinements batched once per forward (the rank-r GEMMs
+    # are latency-bound at B~1 inside the scan body; see core/layers.py)
+    a_shift, a_scale, a_gate = precompute_adaln(
+        cond, params["blocks"]["attention_adaln"])
+    m_shift, m_scale, m_gate = precompute_adaln(
+        cond, params["blocks"]["mlp_adaln"])
+
+    # scan only what the body consumes (the raw adaln stacks are folded into
+    # the precomputed shift/scale/gate above)
+    blocks = {"attention": params["blocks"]["attention"],
+              "mlp": params["blocks"]["mlp"]}
+    per = {"p": blocks, "kt_k": kt_k, "kt_v": kt_v,
+           "ks_k": ks_k, "ks_v": ks_v,
+           "a_shift": a_shift, "a_scale": a_scale, "a_gate": a_gate,
+           "m_shift": m_shift, "m_scale": m_scale, "m_gate": m_gate}
     if speaker_kv_scale is not None:
         per["s_scale"] = speaker_kv_scale
     if has_latent:
@@ -341,7 +360,8 @@ def _dit_forward_grouped(
         a = p["attention"]
         skv = per["s_scale"] if "s_scale" in per else None
 
-        h, attn_gate = low_rank_adaln(x, cond, p["attention_adaln"], eps)
+        h = modulate_rms(x, per["a_shift"], per["a_scale"], eps)
+        attn_gate = per["a_gate"]
         q = (h @ a["wq"]).reshape(g, b, s, h_, dh)
         k_self = (h @ a["wk"]).reshape(g, b, s, h_, dh)
         v_self = (h @ a["wv"]).reshape(g, b, s, h_, dh)
@@ -377,8 +397,8 @@ def _dit_forward_grouped(
         o = o * jax.nn.sigmoid(gate)
         x = x + attn_gate * (o @ a["wo"])
 
-        h, mlp_gate = low_rank_adaln(x, cond, p["mlp_adaln"], eps)
-        x = x + mlp_gate * swiglu_mlp(h, p["mlp"])
+        h = modulate_rms(x, per["m_shift"], per["m_scale"], eps)
+        x = x + per["m_gate"] * swiglu_mlp(h, p["mlp"])
         return x, None
 
     x, _ = jax.lax.scan(body, x, per)

@@ -39,6 +39,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _NEG = -1e30  # plain float: jnp scalars would be captured consts inside the kernel
+# exp2 with log2(e) folded into the softmax scale: Mosaic's exp2 lowering is
+# a few VPU ops cheaper than exp (measured 0.345 vs 0.363 ms/layer,
+# scripts/bench_attention_variants.py); exp(x) == exp2(x*log2e) to fp32
+# rounding, well inside the 2e-5 parity tolerances
+_LOG2E = 1.4426950408889634
 
 
 def _kernel(*refs, scale: float, s_real: int, nseg: int, seq_major: bool):
@@ -88,7 +93,7 @@ def _kernel(*refs, scale: float, s_real: int, nseg: int, seq_major: bool):
     m_row = logits[0].max(axis=-1, keepdims=True)
     for l in logits[1:]:
         m_row = jnp.maximum(m_row, l.max(axis=-1, keepdims=True))
-    exps = [jnp.exp(l - m_row) for l in logits]
+    exps = [jnp.exp2(l - m_row) for l in logits]
     denom = exps[0].sum(axis=-1, keepdims=True)
     for e in exps[1:]:
         denom = denom + e.sum(axis=-1, keepdims=True)
@@ -147,7 +152,7 @@ def joint_attention_grouped_pallas(q, k_self, v_self, segments,
         g, b, h, s, d = q.shape
         s_axis = 3
     nseg = len(segments)
-    scale = 1.0 / (d ** 0.5)
+    scale = _LOG2E / (d ** 0.5)
     # prefer 320-row q tiles (640 = 2x320); fall back to 128, then whole-S
     if s % 320 == 0:
         tq = 320

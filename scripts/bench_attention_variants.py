@@ -62,74 +62,97 @@ def timed_slope(name, make_run, *args, reps=3):
     return ms
 
 
-def _kernel_var(*refs, scale, nseg, mask_mode, use_exp2):
+def _kernel_var(*refs, scale, nseg, mask_mode, use_exp2, hg=1, probe="full"):
     q_ref, ks_ref, vs_ref = refs[0], refs[1], refs[2]
     seg_refs = refs[3:3 + 3 * nseg]
     o_ref = refs[3 + 3 * nseg]
 
-    q = q_ref[0, 0, 0]
-    ks = ks_ref[0, 0, 0]
-    vs = vs_ref[0, 0, 0]
-
     eff_scale = scale * (1.4426950408889634 if use_exp2 else 1.0)
-    ls = jax.lax.dot_general(q, ks, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32) * eff_scale
-    logits = [ls]
-    for i in range(nseg):
-        k_ref, v_ref, m_ref = seg_refs[3 * i: 3 * i + 3]
-        k = k_ref[0, 0]
-        l = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * eff_scale
-        m = m_ref[0, 0, 0]
-        if mask_mode == "where":
-            l = jnp.where(m.astype(jnp.bool_)[None, :], l, _NEG)
-        elif mask_mode == "bias":
-            l = l + m[None, :]          # m is fp32 additive bias (0 / -1e30)
-        elif mask_mode == "arith":
-            l = l + (m[None, :] - 1.0) * 1e30   # m is fp32 0/1
-        elif mask_mode == "none":
-            pass
-        logits.append(l)
+    for hj in range(hg):
+        q = q_ref[0, 0, hj]
+        ks = ks_ref[0, 0, hj]
+        vs = vs_ref[0, 0, hj]
 
-    m_row = logits[0].max(axis=-1, keepdims=True)
-    for l in logits[1:]:
-        m_row = jnp.maximum(m_row, l.max(axis=-1, keepdims=True))
-    efn = jnp.exp2 if use_exp2 else jnp.exp
-    exps = [efn(l - m_row) for l in logits]
-    denom = exps[0].sum(axis=-1, keepdims=True)
-    for e in exps[1:]:
-        denom = denom + e.sum(axis=-1, keepdims=True)
-    inv = 1.0 / denom
+        ls = jax.lax.dot_general(q, ks, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * eff_scale
+        logits = [ls]
+        for i in range(nseg):
+            k_ref, v_ref, m_ref = seg_refs[3 * i: 3 * i + 3]
+            k = k_ref[0, hj]
+            l = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32) * eff_scale
+            m = m_ref[0, 0, 0]
+            if mask_mode == "where":
+                l = jnp.where(m.astype(jnp.bool_)[None, :], l, _NEG)
+            elif mask_mode == "bias":
+                l = l + m[None, :]      # m is fp32 additive bias (0 / -1e30)
+            elif mask_mode == "arith":
+                l = l + (m[None, :] - 1.0) * 1e30   # m is fp32 0/1
+            elif mask_mode == "none":
+                pass
+            logits.append(l)
 
-    o = jax.lax.dot_general((exps[0] * inv).astype(vs.dtype), vs,
-                            (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    for i in range(nseg):
-        v = seg_refs[3 * i + 1][0, 0]
-        o = o + jax.lax.dot_general((exps[i + 1] * inv).astype(v.dtype), v,
-                                    (((1,), (0,)), ((), ())),
+        if probe == "dots":
+            # MXU-only probe: fake weights derived from logits without any
+            # exp/max/sum VPU work (scale keeps values finite)
+            exps = [(l * 1e-9).astype(vs.dtype) for l in logits]
+            o = jax.lax.dot_general(exps[0], vs, (((1,), (0,)), ((), ())),
                                     preferred_element_type=jnp.float32)
-    o_ref[0, 0, 0] = o.astype(o_ref.dtype)
+            for i in range(nseg):
+                v = seg_refs[3 * i + 1][0, hj]
+                o = o + jax.lax.dot_general(exps[i + 1], v,
+                                            (((1,), (0,)), ((), ())),
+                                            preferred_element_type=jnp.float32)
+            o_ref[0, 0, hj] = o.astype(o_ref.dtype)
+            continue
+
+        m_row = logits[0].max(axis=-1, keepdims=True)
+        for l in logits[1:]:
+            m_row = jnp.maximum(m_row, l.max(axis=-1, keepdims=True))
+        efn = jnp.exp2 if use_exp2 else jnp.exp
+        exps = [efn(l - m_row) for l in logits]
+        denom = exps[0].sum(axis=-1, keepdims=True)
+        for e in exps[1:]:
+            denom = denom + e.sum(axis=-1, keepdims=True)
+        inv = 1.0 / denom
+
+        if probe == "noav":
+            # q@k + softmax, no a@v dots: reduce exps to a (tq, d) output
+            o = (exps[0] * inv)[:, :o_ref.shape[-1]]
+            for i in range(nseg):
+                o = o + (exps[i + 1] * inv)[:, :o_ref.shape[-1]]
+            o_ref[0, 0, hj] = o.astype(o_ref.dtype)
+            continue
+
+        o = jax.lax.dot_general((exps[0] * inv).astype(vs.dtype), vs,
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        for i in range(nseg):
+            v = seg_refs[3 * i + 1][0, hj]
+            o = o + jax.lax.dot_general((exps[i + 1] * inv).astype(v.dtype), v,
+                                        (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+        o_ref[0, 0, hj] = o.astype(o_ref.dtype)
 
 
 def attention_var(q, k_self, v_self, segments, *, tq, mask_mode="where",
-                  use_exp2=False):
+                  use_exp2=False, hg=1, probe="full"):
     g, b, h, s, d = q.shape
     nseg = len(segments)
     scale = 1.0 / (d ** 0.5)
     n_qt = s // tq
-    grid = (b, h, n_qt, g)
+    grid = (b, h // hg, n_qt, g)
     in_specs = [
-        pl.BlockSpec((1, 1, 1, tq, d), lambda bb, hh, qq, gg: (gg, bb, hh, qq, 0)),
-        pl.BlockSpec((1, 1, 1, s, d), lambda bb, hh, qq, gg: (gg, bb, hh, 0, 0)),
-        pl.BlockSpec((1, 1, 1, s, d), lambda bb, hh, qq, gg: (gg, bb, hh, 0, 0)),
+        pl.BlockSpec((1, 1, hg, tq, d), lambda bb, hh, qq, gg: (gg, bb, hh, qq, 0)),
+        pl.BlockSpec((1, 1, hg, s, d), lambda bb, hh, qq, gg: (gg, bb, hh, 0, 0)),
+        pl.BlockSpec((1, 1, hg, s, d), lambda bb, hh, qq, gg: (gg, bb, hh, 0, 0)),
     ]
     args = [q, k_self, v_self]
     for k, v, mask in segments:
         t = k.shape[2]
         in_specs += [
-            pl.BlockSpec((1, 1, t, d), lambda bb, hh, qq, gg: (bb, hh, 0, 0)),
-            pl.BlockSpec((1, 1, t, d), lambda bb, hh, qq, gg: (bb, hh, 0, 0)),
+            pl.BlockSpec((1, hg, t, d), lambda bb, hh, qq, gg: (bb, hh, 0, 0)),
+            pl.BlockSpec((1, hg, t, d), lambda bb, hh, qq, gg: (bb, hh, 0, 0)),
             pl.BlockSpec((1, 1, 1, t), lambda bb, hh, qq, gg: (gg, bb, 0, 0)),
         ]
         if mask_mode == "where":
@@ -141,10 +164,11 @@ def attention_var(q, k_self, v_self, segments, *, tq, mask_mode="where",
         args += [k, v, m_arr[:, :, None, :]]
     return pl.pallas_call(
         functools.partial(_kernel_var, scale=scale, nseg=nseg,
-                          mask_mode=mask_mode, use_exp2=use_exp2),
+                          mask_mode=mask_mode, use_exp2=use_exp2, hg=hg,
+                          probe=probe),
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, 1, tq, d),
+        out_specs=pl.BlockSpec((1, 1, hg, tq, d),
                                lambda bb, hh, qq, gg: (gg, bb, hh, qq, 0)),
         out_shape=jax.ShapeDtypeStruct((g, b, h, s, d), v_self.dtype),
     )(*args)
@@ -201,26 +225,25 @@ def main():
     segs2 = [(kt, vt, tm), (ksp, vsp, sm)]
     segs1 = [(kc, vc, cm)]
 
-    bench("2seg tq=320 where (prod-like)", lambda q, k, v, s:
-          attention_var(q, k, v, s, tq=320), segs2)
-    bench("2seg tq=320 bias", lambda q, k, v, s:
+    bench("2seg tq=320 bias (prod)", lambda q, k, v, s:
           attention_var(q, k, v, s, tq=320, mask_mode="bias"), segs2)
-    bench("2seg tq=320 arith", lambda q, k, v, s:
-          attention_var(q, k, v, s, tq=320, mask_mode="arith"), segs2)
-    bench("2seg tq=320 nomask", lambda q, k, v, s:
-          attention_var(q, k, v, s, tq=320, mask_mode="none"), segs2)
+    bench("2seg tq=320 bias DOTS-only", lambda q, k, v, s:
+          attention_var(q, k, v, s, tq=320, mask_mode="bias",
+                        probe="dots"), segs2)
+    bench("2seg tq=320 bias NO-AV", lambda q, k, v, s:
+          attention_var(q, k, v, s, tq=320, mask_mode="bias",
+                        probe="noav"), segs2)
     bench("2seg tq=320 bias exp2", lambda q, k, v, s:
           attention_var(q, k, v, s, tq=320, mask_mode="bias",
                         use_exp2=True), segs2)
-    bench("1seg tq=320 bias exp2", lambda q, k, v, s:
-          attention_var(q, k, v, s, tq=320, mask_mode="bias",
-                        use_exp2=True), segs1)
-    bench("1seg tq=640 bias exp2", lambda q, k, v, s:
-          attention_var(q, k, v, s, tq=640, mask_mode="bias",
-                        use_exp2=True), segs1)
-    bench("2seg tq=640 bias exp2", lambda q, k, v, s:
-          attention_var(q, k, v, s, tq=640, mask_mode="bias",
-                        use_exp2=True), segs2)
+    bench("2seg tq=640 bias", lambda q, k, v, s:
+          attention_var(q, k, v, s, tq=640, mask_mode="bias"), segs2)
+    bench("2seg tq=320 bias hg=2", lambda q, k, v, s:
+          attention_var(q, k, v, s, tq=320, mask_mode="bias", hg=2), segs2)
+    bench("2seg tq=128 bias hg=4", lambda q, k, v, s:
+          attention_var(q, k, v, s, tq=128, mask_mode="bias", hg=4), segs2)
+    bench("2seg tq=640 bias hg=2", lambda q, k, v, s:
+          attention_var(q, k, v, s, tq=640, mask_mode="bias", hg=2), segs2)
 
     print(json.dumps({k: round(v, 3) for k, v in res.items()}))
 

@@ -34,7 +34,8 @@ def _round_up(x, m):
 
 
 def _kernel(x_cur, x_prev, a1, a2, w7, b7, w1, b1, o_ref, *,
-            dilations, halo, live_mode, snake_dtype, use_sin, tap_offsets):
+            dilations, halo, live_mode, snake_dtype, use_sin, tap_offsets,
+            pack_taps=False):
     ii = pl.program_id(1)
     cur = x_cur[0]
     prev_tail = x_prev[0][-halo:, :]
@@ -57,6 +58,9 @@ def _kernel(x_cur, x_prev, a1, a2, w7, b7, w1, b1, o_ref, *,
             return z * a  # stand-in, wrong math: bounds sin cost
         zf = z.astype(snake_dtype)
         af = a.astype(snake_dtype)
+        if use_sin == "poly":
+            from echo_tts_tpu.ops.pallas_conv import _sin2
+            return zf + (1.0 / (af + 1e-9)) * _sin2(af * zf)
         return (zf + (1.0 / (af + 1e-9)) * jnp.square(jnp.sin(af * zf)))
 
     for u, d in enumerate(dilations):
@@ -64,12 +68,22 @@ def _kernel(x_cur, x_prev, a1, a2, w7, b7, w1, b1, o_ref, *,
         pad = (KS - 1) * d
         yp = jnp.concatenate(
             [jnp.zeros((pad,) + y.shape[1:], in_dtype), y], axis=0)
-        acc = jnp.broadcast_to(b7[u].astype(jnp.float32)[None, :],
-                               (twin, b7.shape[-1]))
-        for j in range(KS):
-            off = (j * d) if tap_offsets else 0  # offset 0: aligned, WRONG math
-            acc = acc + jax.lax.dot(yp[off: off + twin], w7[u, j],
-                                    preferred_element_type=jnp.float32)
+        if pack_taps:
+            # im2col in VMEM: one (twin, KS*C) @ (KS*C, C) dot — K grows from
+            # C (1.5 MXU K-tiles at C=192) to KS*C (fully tiled)
+            xcat = jnp.concatenate(
+                [yp[j * d: j * d + twin] for j in range(KS)], axis=1)
+            acc = jax.lax.dot(
+                xcat, w7[u].reshape(KS * w7.shape[-2], w7.shape[-1]),
+                preferred_element_type=jnp.float32) \
+                + b7[u].astype(jnp.float32)[None, :]
+        else:
+            acc = jnp.broadcast_to(b7[u].astype(jnp.float32)[None, :],
+                                   (twin, b7.shape[-1]))
+            for j in range(KS):
+                off = (j * d) if tap_offsets else 0  # offset 0: aligned, WRONG math
+                acc = acc + jax.lax.dot(yp[off: off + twin], w7[u, j],
+                                        preferred_element_type=jnp.float32)
         y = snk(acc, a2[u].astype(jnp.float32))
         y = jax.lax.dot(y.astype(in_dtype), w1[u],
                         preferred_element_type=jnp.float32) + b1[u].astype(jnp.float32)
@@ -169,7 +183,7 @@ def res_chain_cf(x, units, *, use_sin=True, tile_t=2048):
 
 
 def res_chain(x, units, *, live_mode="where", snake_dtype=jnp.float32,
-              tile_t=None, use_sin=True, tap_offsets=True):
+              tile_t=None, use_sin=True, tap_offsets=True, pack_taps=False):
     b, t, c = x.shape
     n = len(units)
     halo = _round_up(sum((KS - 1) * d for d in DILS), 16)
@@ -193,7 +207,8 @@ def res_chain(x, units, *, live_mode="where", snake_dtype=jnp.float32,
     out = pl.pallas_call(
         functools.partial(_kernel, dilations=DILS, halo=halo,
                           live_mode=live_mode, snake_dtype=snake_dtype,
-                          use_sin=use_sin, tap_offsets=tap_offsets),
+                          use_sin=use_sin, tap_offsets=tap_offsets,
+                          pack_taps=pack_taps),
         grid=(b, nt),
         in_specs=[
             pl.BlockSpec((1, tq, c), lambda bb, ii: (bb, ii, 0)),
@@ -289,11 +304,10 @@ def main():
             res[f"c{c} {name}"] = timed_slope(f"c{c} {name}", make_run, xcf,
                                               *flat)
 
-        bench("where (prod-like)")
-        bench("no-sin (bounds)", use_sin=False)
-        bench("taps-offset0 (bounds)", tap_offsets=False)
-        bench_cf("CF time-on-lanes")
-        bench_cf("CF no-sin (bounds)", use_sin=False)
+        bench("poly 7-dots (prod)", use_sin="poly")
+        bench("poly packed-taps", use_sin="poly", pack_taps=True)
+        bench("no-sin 7-dots (bounds)", use_sin=False)
+        bench("no-sin packed (bounds)", use_sin=False, pack_taps=True)
 
     print(json.dumps({k: round(v, 3) for k, v in res.items()}))
 
