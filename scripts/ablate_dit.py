@@ -193,7 +193,9 @@ def main():
         @jax.jit
         def run(ae, x, salt):
             def body(c, i):
-                y = f(ae, x * (1 + 1e-6 * (i + salt)))
+                # keep the salt in x's dtype — an fp32 promotion here doubles
+                # VMEM in the Pallas res-chain kernel (measured OOM at C=768)
+                y = f(ae, x * (1 + 1e-6 * (i + salt)).astype(x.dtype))
                 return c + y.mean().astype(jnp.float32), None
 
             c, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(INNER))

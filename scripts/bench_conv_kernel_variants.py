@@ -246,7 +246,12 @@ def timed_slope(name, make_run, *args, reps=3):
 def main():
     key = jax.random.PRNGKey(0)
     res = {}
-    for c, t in ((192, 655360), (96, 1310720)):
+    shapes = ((192, 655360), (96, 1310720))
+    if "--c192" in sys.argv:
+        shapes = ((192, 655360),)
+    elif "--c96" in sys.argv:
+        shapes = ((96, 1310720),)
+    for c, t in shapes:
         ks = jax.random.split(jax.random.fold_in(key, c), 16)
         units = []
         for u in range(3):
@@ -306,8 +311,6 @@ def main():
 
         bench("poly 7-dots (prod)", use_sin="poly")
         bench("poly packed-taps", use_sin="poly", pack_taps=True)
-        bench("no-sin 7-dots (bounds)", use_sin=False)
-        bench("no-sin packed (bounds)", use_sin=False, pack_taps=True)
 
     print(json.dumps({k: round(v, 3) for k, v in res.items()}))
 
