@@ -51,15 +51,24 @@ STEPS = 40
 
 def main():
     # --batch N: N utterances on the one chip (config-5-style serving shape);
-    # default 1 is the headline the driver records
+    # default 1 is the headline the driver records.
+    # --force-speaker: BASELINE config 3 (speaker_kv_scale gating).
+    # --blockwise: BASELINE config 4 (2x320 blocks + streamed S1-DAC decode).
     batch = 1
     if "--batch" in sys.argv:
         batch = int(sys.argv[sys.argv.index("--batch") + 1])
-    dit_cfg = DiTConfig(has_latent_modules=False)
+    force_speaker = "--force-speaker" in sys.argv
+    blockwise = "--blockwise" in sys.argv
+    dit_cfg = DiTConfig(has_latent_modules=blockwise)
     ae_cfg = AEConfig()
     sc = SamplerConfig(num_steps=STEPS, cfg_scale_text=3.0, cfg_scale_speaker=8.0,
                        cfg_min_t=0.5, cfg_max_t=1.0, truncation_factor=0.8,
-                       sequence_length=SEQ)
+                       sequence_length=SEQ,
+                       # config-3 gating values mirror the reference UI's
+                       # Force Speaker mode (gradio_app.py:281-307)
+                       speaker_kv_scale=1.5 if force_speaker else None,
+                       speaker_kv_min_t=0.5 if force_speaker else None,
+                       speaker_kv_max_layers=24 if force_speaker else None)
 
     key = jax.random.PRNGKey(0)
     t0 = time.time()
@@ -94,12 +103,42 @@ def main():
         # host fetch is the reliable fence (see memory: axon-tpu-relay-pitfalls)
         np.asarray(x[(0,) * (x.ndim - 1) + (slice(0, 1),)])
 
+    if blockwise:
+        from echo_tts_tpu.models.s1dac import decode_zq_streaming
+        from echo_tts_tpu.models import pca as _pca_mod
+        from echo_tts_tpu.sampling.blockwise import (
+            sample_blockwise_euler_cfg_independent_guidances,
+        )
+        blocks = (320, 320)
+
+        def sample(noise_i):
+            # per-block noises sliced from the one-shot noise tensor
+            noises = [noise_i[:, :320], noise_i[:, 320:]]
+            return sample_blockwise_euler_cfg_independent_guidances(
+                dit_params, dit_cfg, sc, speaker_latent, speaker_mask, ids,
+                text_mask, blocks, noises=noises, model_dtype=jnp.bfloat16)
+
+        def decode(lat):
+            z_q = jax.jit(lambda p, l: _pca_mod.deproject(p, l).astype(
+                jnp.bfloat16))(pca, lat)
+            chunks = list(decode_zq_streaming(ae_params, ae_cfg, z_q,
+                                              chunk_frames=64))
+            force(chunks[-1])
+            return jnp.concatenate(chunks, axis=-1)
+    else:
+        def sample(noise_i):
+            return sample_euler_cfg_independent_guidances(
+                dit_params, dit_cfg, sc, speaker_latent, speaker_mask, ids,
+                text_mask, noise_i, model_dtype=jnp.bfloat16)
+
+        def decode(lat):
+            audio = vocoder(ae_params, ae_cfg, pca, lat)
+            force(audio)
+            return audio
+
     def run(noise_i):
-        lat = sample_euler_cfg_independent_guidances(
-            dit_params, dit_cfg, sc, speaker_latent, speaker_mask, ids,
-            text_mask, noise_i, model_dtype=jnp.bfloat16)
-        audio = vocoder(ae_params, ae_cfg, pca, lat)
-        force(audio)
+        lat = sample(noise_i)
+        audio = decode(lat)
         return lat, audio
 
     t0 = time.time()
@@ -113,13 +152,10 @@ def main():
     times, sample_t, voc_t = [], [], []
     for i in range(3):
         t0 = time.time()
-        lat = sample_euler_cfg_independent_guidances(
-            dit_params, dit_cfg, sc, speaker_latent, speaker_mask, ids,
-            text_mask, noises[i], model_dtype=jnp.bfloat16)
+        lat = sample(noises[i])
         force(lat)
         t1 = time.time()
-        audio = vocoder(ae_params, ae_cfg, pca, lat)
-        force(audio)
+        audio = decode(lat)
         t2 = time.time()
         sample_t.append(t1 - t0)
         voc_t.append(t2 - t1)
@@ -130,9 +166,15 @@ def main():
     value = audio_seconds / wall
     print(f"# sample {min(sample_t)*1e3:.0f}ms ({min(sample_t)*1e3/STEPS:.1f}ms/step), "
           f"vocoder {min(voc_t)*1e3:.0f}ms, audio {audio.shape}", file=sys.stderr)
+    mode = ""
+    if force_speaker:
+        mode = ", force-speaker kv_scale=1.5"
+    if blockwise:
+        mode = ", blockwise 2x320 + streamed decode"
     print(json.dumps({
         "metric": ("audio-seconds/s/chip, 40-step dual-CFG Euler @640 latents"
-                   " + S1-DAC decode" + (f", batch={batch}" if batch > 1 else "")),
+                   " + S1-DAC decode" + (f", batch={batch}" if batch > 1 else "")
+                   + mode),
         "value": round(value, 3),
         "unit": "audio_s_per_s_per_chip",
         "vs_baseline": round(value / 1.0, 3),

@@ -112,10 +112,18 @@ def snake(x, alpha):
     sin² is computed with the same range-reduced degree-6 polynomial as the
     Pallas res-chain kernel (ops/pallas_conv.py:_sin2, max |err| 2.3e-10 —
     four orders below the 2e-5 parity tolerances): TPU `sin` costs ~40 VPU
-    ops and dominated the decoder tail (BASELINE.md 2026-08-19)."""
+    ops and dominated the decoder tail (BASELINE.md 2026-08-19).
+
+    The polynomial runs in fp32 (range reduction needs the mantissa) but the
+    result is cast BACK to x's dtype: the poly's fp32 constants otherwise
+    silently promote the whole bf16 decoder to fp32 downstream — fp32 MXU
+    GEMMs in the tconvs and double-VMEM Pallas chain inputs (measured as a
+    VMEM OOM at C=768 and a slower vocoder)."""
     from echo_tts_tpu.ops.pallas_conv import _sin2
 
-    return x + (1.0 / (alpha + 1e-9)) * _sin2(alpha * x)
+    xf = x.astype(jnp.float32)
+    af = alpha.astype(jnp.float32)
+    return (xf + (1.0 / (af + 1e-9)) * _sin2(af * xf)).astype(x.dtype)
 
 
 def _layer_norm(x, w, b, eps=1e-6):
@@ -373,10 +381,13 @@ def _causal_tconv_phase_cl(x_cl, w, b, *, kernel_size: int, stride: int):
 
 
 def _snake_cl(x_cl, alpha_flat):
-    """Channels-last snake with the polynomial sin² (see `snake`)."""
+    """Channels-last snake with the polynomial sin² (see `snake` — fp32
+    internally, result cast back to x's dtype)."""
     from echo_tts_tpu.ops.pallas_conv import _sin2
 
-    return x_cl + (1.0 / (alpha_flat + 1e-9)) * _sin2(alpha_flat * x_cl)
+    xf = x_cl.astype(jnp.float32)
+    af = alpha_flat.astype(jnp.float32)
+    return (xf + (1.0 / (af + 1e-9)) * _sin2(af * xf)).astype(x_cl.dtype)
 
 
 def _residual_unit_cl(x_cl, p, *, dilation):
