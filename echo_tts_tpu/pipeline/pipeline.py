@@ -13,6 +13,7 @@ import dataclasses
 import time
 from typing import Callable, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -70,37 +71,10 @@ def sample_pipeline(
     """
     pc = tts.pipe_cfg
     sc = sc or SamplerConfig()
-    timings = {}
-
-    t0 = time.perf_counter()
-    max_text = min(pad_to_max_text_length or pc.max_text_length, pc.max_text_length)
-    ids, text_mask, normalized = tok.get_text_input_ids_and_mask(
-        [text_prompt], max_length=max_text, normalize=normalize_text)
-    if pad_to_max_text_length is None and use_buckets:
-        # trim then bucket-pad for compile stability
-        n = int(text_mask.sum())
-        bucket = find_min_bucket_gte(pc.text_buckets, n)
-        ids = _pad_to(ids, bucket)
-        text_mask = _pad_to(text_mask, bucket)
-    timings["tokenize"] = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
-    if speaker_audio is None:
-        n = pad_to_max_speaker_latent_length or 4
-        speaker_latent = np.zeros((1, n, tts.dit_cfg.latent_size), np.float32)
-        speaker_mask = np.zeros((1, n), bool)
-    else:
-        speaker_latent, speaker_mask = get_speaker_latent_and_mask(
-            tts.ae_params, tts.ae_cfg, tts.pca, speaker_audio,
-            max_speaker_latent_length=(pad_to_max_speaker_latent_length
-                                       or pc.max_speaker_latent_length),
-            audio_chunk_latents=pc.audio_chunk_latents,
-            pad_to_max=pad_to_max_speaker_latent_length is not None)
-        if pad_to_max_speaker_latent_length is None and use_buckets:
-            bucket = find_min_bucket_gte(pc.speaker_buckets, speaker_latent.shape[1])
-            speaker_latent = _pad_to(speaker_latent, bucket)
-            speaker_mask = _pad_to(speaker_mask, bucket)
-    timings["speaker_encode"] = time.perf_counter() - t0
+    (ids, text_mask, normalized, speaker_latent, speaker_mask,
+     timings) = _prepare_inputs(
+        tts, text_prompt, speaker_audio, normalize_text,
+        pad_to_max_text_length, pad_to_max_speaker_latent_length, use_buckets)
 
     t0 = time.perf_counter()
     if noise is None:
@@ -136,3 +110,127 @@ def _pad_to(arr: np.ndarray, n: int) -> np.ndarray:
     pad = [(0, 0)] * arr.ndim
     pad[1] = (0, n - arr.shape[1])
     return np.pad(arr, pad)
+
+
+def _prepare_inputs(tts: EchoTTS, text_prompt: str,
+                    speaker_audio: Optional[np.ndarray], normalize_text: bool,
+                    pad_to_max_text_length: Optional[int],
+                    pad_to_max_speaker_latent_length: Optional[int],
+                    use_buckets: bool):
+    """Shared text/speaker preprocessing for the one-shot and streaming
+    pipelines (reference: inference.py:366-390)."""
+    pc = tts.pipe_cfg
+    timings = {}
+
+    t0 = time.perf_counter()
+    max_text = min(pad_to_max_text_length or pc.max_text_length, pc.max_text_length)
+    ids, text_mask, normalized = tok.get_text_input_ids_and_mask(
+        [text_prompt], max_length=max_text, normalize=normalize_text)
+    if pad_to_max_text_length is None and use_buckets:
+        # trim then bucket-pad for compile stability
+        n = int(text_mask.sum())
+        bucket = find_min_bucket_gte(pc.text_buckets, n)
+        ids = _pad_to(ids, bucket)
+        text_mask = _pad_to(text_mask, bucket)
+    timings["tokenize"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    if speaker_audio is None:
+        n = pad_to_max_speaker_latent_length or 4
+        speaker_latent = np.zeros((1, n, tts.dit_cfg.latent_size), np.float32)
+        speaker_mask = np.zeros((1, n), bool)
+    else:
+        speaker_latent, speaker_mask = get_speaker_latent_and_mask(
+            tts.ae_params, tts.ae_cfg, tts.pca, speaker_audio,
+            max_speaker_latent_length=(pad_to_max_speaker_latent_length
+                                       or pc.max_speaker_latent_length),
+            audio_chunk_latents=pc.audio_chunk_latents,
+            pad_to_max=pad_to_max_speaker_latent_length is not None)
+        if pad_to_max_speaker_latent_length is None and use_buckets:
+            bucket = find_min_bucket_gte(pc.speaker_buckets, speaker_latent.shape[1])
+            speaker_latent = _pad_to(speaker_latent, bucket)
+            speaker_mask = _pad_to(speaker_mask, bucket)
+    timings["speaker_encode"] = time.perf_counter() - t0
+    return ids, text_mask, normalized, speaker_latent, speaker_mask, timings
+
+
+def sample_pipeline_stream(
+    tts: EchoTTS,
+    text_prompt: str,
+    speaker_audio: Optional[np.ndarray],
+    rng_seed: int,
+    sc: Optional[SamplerConfig] = None,
+    block_size: int = 160,
+    normalize_text: bool = False,
+    stop_at_flattening: bool = True,
+    decode_context_frames: Optional[int] = None,
+):
+    """Streaming generation: blockwise sampling + causal streamed decode.
+
+    Yields fp32 waveform chunks (1, 1, n_samples), one per latent block, as
+    soon as each block is sampled and decoded — time-to-first-audio is one
+    block (+ KV build) instead of the full utterance. This is the serving
+    form of the reference's blockwise/continuation mode
+    (inference_blockwise.py:14-123) combined with the causal S1-DAC decode
+    that the reference cites as the reason streaming works (README:122-124).
+
+    End-of-speech: when `stop_at_flattening`, the flattening-point detector
+    (reference: inference.py:315-338) runs on the latents generated so far
+    after each block; the final chunk is cropped at the detected frame and
+    generation STOPS — unconsumed blocks are never sampled (the reference
+    always generates all 640 latents and crops afterwards).
+
+    Exactness: each block's waveform comes from decoding z_q over
+    [block_start - context, block_end) and emitting the tail — identical to
+    the full decode once `decode_context_frames` covers the receptive field
+    (models/s1dac.py:decode_zq_streaming; verified in tests). Requires a
+    checkpoint WITH blockwise modules (cfg.has_latent_modules).
+    """
+    from echo_tts_tpu.models import pca as pca_mod
+    from echo_tts_tpu.models.s1dac import decode_zq
+    from echo_tts_tpu.pipeline.flattening import find_flattening_point
+    from echo_tts_tpu.sampling.blockwise import sample_blockwise_stream
+
+    if not tts.dit_cfg.has_latent_modules:
+        raise ValueError(
+            "streaming generation needs the blockwise (latent-prefix) modules;"
+            " this checkpoint was converted with delete_blockwise_modules")
+    sc = sc or SamplerConfig()
+    ids, text_mask, _, speaker_latent, speaker_mask, _ = _prepare_inputs(
+        tts, text_prompt, speaker_audio, normalize_text, None, None, True)
+
+    n_blocks = -(-sc.sequence_length // block_size)
+    block_sizes = [min(block_size, sc.sequence_length - i * block_size)
+                   for i in range(n_blocks)]
+    if decode_context_frames is None:
+        decode_context_frames = tts.ae_cfg.q_window_size + 32
+    spl = tts.ae_cfg.frame_length
+
+    # same RNG contract as one-shot: noise for block i is the one-shot noise
+    # tensor's rows [start_i, end_i) (blockwise-vs-oneshot consistency tests)
+    full_noise = draw_noise(rng_seed, (1, sc.sequence_length, tts.dit_cfg.latent_size))
+    noises, off = [], 0
+    for bs in block_sizes:
+        noises.append(full_noise[:, off:off + bs])
+        off += bs
+
+    for prefix, start, bs in sample_blockwise_stream(
+            tts.dit_params, tts.dit_cfg, sc,
+            jnp.asarray(speaker_latent), jnp.asarray(speaker_mask),
+            jnp.asarray(ids), jnp.asarray(text_mask),
+            block_sizes, noises=noises, rng_seed=rng_seed,
+            model_dtype=tts.model_dtype):
+        end = start + bs
+        lo = max(0, start - decode_context_frames)
+        z_q = pca_mod.deproject(tts.pca, prefix[:, lo:end])  # (B, 1024, T)
+        ae_dtype = jax.tree_util.tree_leaves(tts.ae_params)[0].dtype
+        audio = decode_zq(tts.ae_params, tts.ae_cfg, z_q.astype(ae_dtype))
+        chunk = np.asarray(audio[:, :, -bs * spl:], np.float32)
+
+        if stop_at_flattening:
+            fp = int(find_flattening_point(np.asarray(prefix[0, :end], np.float32)))
+            if fp < end:
+                keep = max(0, fp - start)
+                yield chunk[:, :, : keep * spl]
+                return
+        yield chunk

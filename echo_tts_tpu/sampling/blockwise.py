@@ -68,6 +68,55 @@ def _sample_block(
     return prefix_latent
 
 
+def sample_blockwise_stream(
+    params: dict,
+    cfg: DiTConfig,
+    sc: SamplerConfig,
+    speaker_latent: jnp.ndarray,
+    speaker_mask: jnp.ndarray,
+    text_input_ids: jnp.ndarray,
+    text_mask: jnp.ndarray,
+    block_sizes: Sequence[int],
+    noises: Optional[List[jnp.ndarray]] = None,   # per-block (B, block, latent)
+    rng_seed: int = 0,
+    continuation_latent: Optional[jnp.ndarray] = None,
+    model_dtype=jnp.bfloat16,
+):
+    """Generator form of the blockwise sampler: after each block, yields
+    (prefix_latent (B, total_len, latent) fp32, start_pos, block_size) where
+    [start_pos, start_pos + block_size) is the freshly sampled region.
+
+    The consumer may stop early (end-of-speech detected downstream) — blocks
+    are sampled lazily, so unconsumed blocks cost nothing. State between
+    blocks stays device-resident (the prefix buffer is donated into each
+    `_sample_block`, SURVEY.md §5.7)."""
+    b = text_input_ids.shape[0]
+    kv_text = get_kv_cache_text(params, cfg, text_input_ids, text_mask)
+    kv_speaker = get_kv_cache_speaker(params, cfg, speaker_latent.astype(model_dtype))
+
+    cont_len = 0 if continuation_latent is None else continuation_latent.shape[1]
+    total_len = cont_len + sum(int(s) for s in block_sizes)
+
+    prefix = jnp.zeros((b, total_len, cfg.latent_size), dtype=jnp.float32)
+    if continuation_latent is not None:
+        prefix = prefix.at[:, :cont_len].set(continuation_latent.astype(jnp.float32))
+
+    start_pos = cont_len
+    for bi, block_size in enumerate(block_sizes):
+        if noises is not None:
+            noise = jnp.asarray(noises[bi], dtype=jnp.float32)
+        else:
+            key = jax.random.fold_in(jax.random.PRNGKey(rng_seed), bi)
+            noise = jax.random.normal(key, (b, block_size, cfg.latent_size),
+                                      dtype=jnp.float32)
+        prefix = _sample_block(
+            params, cfg, sc, prefix, jnp.int32(start_pos), noise,
+            text_mask, speaker_mask, kv_text, kv_speaker,
+            int(block_size), total_len, model_dtype)
+        yield prefix, start_pos, int(block_size)
+        start_pos += int(block_size)
+
+
 def sample_blockwise_euler_cfg_independent_guidances(
     params: dict,
     cfg: DiTConfig,
@@ -93,29 +142,10 @@ def sample_blockwise_euler_cfg_independent_guidances(
     scale across blocks — scale**block_idx — which is clearly unintended; we
     apply a constant scale in that regime instead.)
     """
-    b = text_input_ids.shape[0]
-    kv_text = get_kv_cache_text(params, cfg, text_input_ids, text_mask)
-    kv_speaker = get_kv_cache_speaker(params, cfg, speaker_latent.astype(model_dtype))
-
-    cont_len = 0 if continuation_latent is None else continuation_latent.shape[1]
-    total_len = cont_len + sum(int(s) for s in block_sizes)
-
-    prefix = jnp.zeros((b, total_len, cfg.latent_size), dtype=jnp.float32)
-    if continuation_latent is not None:
-        prefix = prefix.at[:, :cont_len].set(continuation_latent.astype(jnp.float32))
-
-    start_pos = cont_len
-    for bi, block_size in enumerate(block_sizes):
-        if noises is not None:
-            noise = jnp.asarray(noises[bi], dtype=jnp.float32)
-        else:
-            key = jax.random.fold_in(jax.random.PRNGKey(rng_seed), bi)
-            noise = jax.random.normal(key, (b, block_size, cfg.latent_size),
-                                      dtype=jnp.float32)
-        prefix = _sample_block(
-            params, cfg, sc, prefix, jnp.int32(start_pos), noise,
-            text_mask, speaker_mask, kv_text, kv_speaker,
-            int(block_size), total_len, model_dtype)
-        start_pos += int(block_size)
-
+    prefix = None
+    for prefix, _, _ in sample_blockwise_stream(
+            params, cfg, sc, speaker_latent, speaker_mask, text_input_ids,
+            text_mask, block_sizes, noises=noises, rng_seed=rng_seed,
+            continuation_latent=continuation_latent, model_dtype=model_dtype):
+        pass
     return prefix

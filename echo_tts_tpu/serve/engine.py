@@ -85,5 +85,33 @@ class Engine:
         self.stats["failures"] += 1
         raise RuntimeError(f"generation failed after {self.max_retries + 1} attempts") from last_err
 
+    def generate_stream(
+        self,
+        text: str,
+        speaker_audio: Optional[np.ndarray],
+        seed: int = 0,
+        sc: Optional[SamplerConfig] = None,
+        block_size: int = 160,
+        normalize_text: bool = True,
+    ):
+        """Yields fp32 waveform chunks (1, 1, n) as latent blocks complete
+        (pipeline.sample_pipeline_stream). Holds the device lock for the
+        whole stream — one streaming request at a time, matching the
+        single-writer discipline above."""
+        from echo_tts_tpu.pipeline.pipeline import sample_pipeline_stream
+
+        sc = sc or SamplerConfig()
+        with self._lock:
+            t0 = time.perf_counter()
+            n_samples = 0
+            for chunk in sample_pipeline_stream(
+                    self.tts, text, speaker_audio, seed, sc=sc,
+                    block_size=block_size, normalize_text=normalize_text):
+                n_samples += chunk.shape[-1]
+                yield chunk
+            self.stats["requests"] += 1
+            self.stats["total_sample_s"] += time.perf_counter() - t0
+            self.stats["total_audio_s"] += n_samples / self.tts.ae_cfg.sample_rate
+
     def health(self) -> dict:
         return {"status": "ok", "lora": self._current_lora_path, **self.stats}

@@ -15,6 +15,11 @@ Endpoints:
                 "speaker_wav_b64": base64 WAV bytes (optional),
                 "speaker_path": server-side path (optional)}
        -> audio/wav bytes (reference wav-save path: gradio_app.py:376-408)
+  POST /tts_stream  same body as /tts, plus "block_size" (default 160 latents)
+       -> chunked audio/L16 (raw mono PCM16, X-Sample-Rate header): one chunk
+       per sampled latent block as it is decoded (blockwise sampling + causal
+       streamed S1-DAC decode; stops early at the end-of-speech flattening
+       point). Requires a checkpoint with the blockwise modules.
 """
 from __future__ import annotations
 
@@ -82,7 +87,7 @@ def make_handler(engine: Engine, presets: Dict[str, SamplerConfig]):
                 except Exception as e:
                     return self._json(400, {"error": str(e)})
 
-            if self.path != "/tts":
+            if self.path not in ("/tts", "/tts_stream"):
                 return self._json(404, {"error": "not found"})
 
             try:
@@ -106,6 +111,29 @@ def make_handler(engine: Engine, presets: Dict[str, SamplerConfig]):
                         speaker = load_audio(f.name)
                 elif req.get("speaker_path"):
                     speaker = load_audio(req["speaker_path"])
+
+                if self.path == "/tts_stream":
+                    # chunked raw PCM16: length unknown up front (early stop
+                    # at the flattening point), so WAV headers don't fit
+                    self.send_response(200)
+                    self.send_header("Content-Type", "audio/L16")
+                    self.send_header("X-Sample-Rate",
+                                     str(engine.tts.ae_cfg.sample_rate))
+                    self.send_header("Transfer-Encoding", "chunked")
+                    self.end_headers()
+                    for chunk in engine.generate_stream(
+                            text, speaker, seed=seed, sc=sc,
+                            block_size=int(req.get("block_size", 160)),
+                            normalize_text=bool(req.get("normalize_text", True))):
+                        pcm = np.clip(chunk[0, 0] * 32767.0, -32768, 32767
+                                      ).astype("<i2").tobytes()
+                        if not pcm:
+                            continue
+                        self.wfile.write(f"{len(pcm):X}\r\n".encode())
+                        self.wfile.write(pcm)
+                        self.wfile.write(b"\r\n")
+                    self.wfile.write(b"0\r\n\r\n")
+                    return
 
                 audio, normalized, timings = engine.generate(
                     text, speaker, seed=seed, sc=sc,

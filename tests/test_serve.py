@@ -108,3 +108,29 @@ def test_http_preset_and_speaker_wav(engine, tmp_path):
         assert timings["speaker_encode"] > 0
     finally:
         httpd.shutdown()
+
+
+def test_http_tts_stream(engine):
+    """Chunked /tts_stream endpoint: raw PCM16 chunks, one per latent block
+    (blockwise sampling + causal streamed decode)."""
+    httpd = serve(engine, port=0, background=True)
+    port = httpd.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    try:
+        body = json.dumps({"text": "Stream me.", "seed": 5, "num_steps": 2,
+                           "sequence_length": 16, "block_size": 8,
+                           "truncation_factor": 0.8}).encode()
+        req = urllib.request.Request(f"{base}/tts_stream", data=body,
+                                     headers={"Content-Type": "application/json"})
+        resp = urllib.request.urlopen(req)
+        assert resp.headers["Content-Type"] == "audio/L16"
+        sr = int(resp.headers["X-Sample-Rate"])
+        assert sr == engine.tts.ae_cfg.sample_rate
+        pcm = resp.read()  # urllib de-chunks transfer-encoding
+        assert len(pcm) > 0 and len(pcm) % 2 == 0
+        audio = np.frombuffer(pcm, "<i2").astype(np.float32) / 32767.0
+        # at most 16 latents of audio, nonzero, finite
+        assert audio.size <= 16 * engine.tts.ae_cfg.frame_length
+        assert np.isfinite(audio).all() and np.abs(audio).max() > 0
+    finally:
+        httpd.shutdown()

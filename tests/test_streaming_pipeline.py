@@ -1,0 +1,78 @@
+"""Streaming generation pipeline (sample_pipeline_stream): per-block audio
+chunks, exactness vs the non-streamed blockwise path, and flattening-point
+early stop. Serving form of reference inference_blockwise.py + the causal
+streamed decode (README:122-124)."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from echo_tts_tpu.core.config import SamplerConfig
+from echo_tts_tpu.pipeline.pipeline import sample_pipeline_stream
+from echo_tts_tpu.pipeline.speaker import ae_decode
+from echo_tts_tpu.pipeline import pipeline as pipe_mod
+from echo_tts_tpu.sampling.blockwise import (
+    sample_blockwise_euler_cfg_independent_guidances,
+)
+from echo_tts_tpu.sampling.euler_cfg import draw_noise
+
+from test_pipeline_parity import tiny_tts  # fixture reuse  # noqa: F401
+
+SC = SamplerConfig(num_steps=2, sequence_length=16, truncation_factor=0.8)
+TEXT = "Streaming test."
+
+
+def _prep(tts):
+    from echo_tts_tpu.pipeline.pipeline import _prepare_inputs
+
+    ids, text_mask, _, spk_lat, spk_mask, _ = _prepare_inputs(
+        tts, TEXT, None, True, None, None, True)
+    return ids, text_mask, spk_lat, spk_mask
+
+
+def test_stream_matches_blockwise_full_decode(tiny_tts):  # noqa: F811
+    _, _, tts = tiny_tts
+    chunks = list(sample_pipeline_stream(
+        tts, TEXT, None, rng_seed=3, sc=SC, block_size=8,
+        normalize_text=True, stop_at_flattening=False))
+    assert len(chunks) == 2
+    streamed = np.concatenate(chunks, axis=-1)
+
+    ids, text_mask, spk_lat, spk_mask = _prep(tts)
+    noise = draw_noise(3, (1, SC.sequence_length, tts.dit_cfg.latent_size))
+    lat = sample_blockwise_euler_cfg_independent_guidances(
+        tts.dit_params, tts.dit_cfg, SC,
+        jnp.asarray(spk_lat), jnp.asarray(spk_mask),
+        jnp.asarray(ids), jnp.asarray(text_mask),
+        (8, 8), noises=[noise[:, :8], noise[:, 8:]],
+        model_dtype=tts.model_dtype)
+    full = np.asarray(ae_decode(tts.ae_params, tts.ae_cfg, tts.pca, lat))
+
+    assert streamed.shape == full.shape
+    np.testing.assert_allclose(streamed, full, atol=2e-5, rtol=0)
+
+
+def test_stream_early_stop_at_flattening(tiny_tts, monkeypatch):  # noqa: F811
+    _, _, tts = tiny_tts
+    from echo_tts_tpu.pipeline import flattening
+
+    # force detection at frame 10 (inside block 2 of [8, 8])
+    monkeypatch.setattr(flattening, "find_flattening_point",
+                        lambda data, **kw: np.int32(min(10, data.shape[0])))
+    chunks = list(sample_pipeline_stream(
+        tts, TEXT, None, rng_seed=3, sc=SC, block_size=8,
+        normalize_text=True, stop_at_flattening=True))
+    spl = tts.ae_cfg.frame_length
+    assert len(chunks) == 2
+    assert chunks[0].shape[-1] == 8 * spl
+    assert chunks[1].shape[-1] == 2 * spl  # cropped at frame 10 and stopped
+
+
+def test_stream_requires_latent_modules(tiny_tts):  # noqa: F811
+    import dataclasses
+
+    _, _, tts = tiny_tts
+    tts2 = dataclasses.replace(
+        tts, dit_cfg=dataclasses.replace(tts.dit_cfg, has_latent_modules=False))
+    with pytest.raises(ValueError, match="blockwise"):
+        next(sample_pipeline_stream(tts2, TEXT, None, 0, sc=SC))
