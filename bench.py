@@ -59,6 +59,9 @@ def main():
         batch = int(sys.argv[sys.argv.index("--batch") + 1])
     force_speaker = "--force-speaker" in sys.argv
     blockwise = "--blockwise" in sys.argv
+    uncond_cache = 1
+    if "--uncond-cache" in sys.argv:
+        uncond_cache = int(sys.argv[sys.argv.index("--uncond-cache") + 1])
     dit_cfg = DiTConfig(has_latent_modules=blockwise)
     ae_cfg = AEConfig()
     sc = SamplerConfig(num_steps=STEPS, cfg_scale_text=3.0, cfg_scale_speaker=8.0,
@@ -68,7 +71,8 @@ def main():
                        # Force Speaker mode (gradio_app.py:281-307)
                        speaker_kv_scale=1.5 if force_speaker else None,
                        speaker_kv_min_t=0.5 if force_speaker else None,
-                       speaker_kv_max_layers=24 if force_speaker else None)
+                       speaker_kv_max_layers=24 if force_speaker else None,
+                       uncond_cache_interval=uncond_cache)
 
     key = jax.random.PRNGKey(0)
     t0 = time.time()
@@ -104,27 +108,47 @@ def main():
         np.asarray(x[(0,) * (x.ndim - 1) + (slice(0, 1),)])
 
     if blockwise:
-        from echo_tts_tpu.models.s1dac import decode_zq_streaming
+        # interleaved streaming: sample block i, decode+emit it, sample i+1 —
+        # the serving form (pipeline.sample_pipeline_stream); reports
+        # time-to-first-audio alongside throughput
         from echo_tts_tpu.models import pca as _pca_mod
-        from echo_tts_tpu.sampling.blockwise import (
-            sample_blockwise_euler_cfg_independent_guidances,
-        )
-        blocks = (320, 320)
+        from echo_tts_tpu.sampling.blockwise import sample_blockwise_stream
+        blocks = (160, 160, 160, 160)
+        ctx = ae_cfg.q_window_size + 32
+        ttfa = []
 
-        def sample(noise_i):
-            # per-block noises sliced from the one-shot noise tensor
-            noises = [noise_i[:, :320], noise_i[:, 320:]]
-            return sample_blockwise_euler_cfg_independent_guidances(
-                dit_params, dit_cfg, sc, speaker_latent, speaker_mask, ids,
-                text_mask, blocks, noises=noises, model_dtype=jnp.bfloat16)
+        def _decode_window(prefix, start, bs):
+            lo = max(0, start - ctx)
+            z_q = _pca_mod.deproject(pca, prefix[:, lo:start + bs])
+            au = decode_zq(ae_params, ae_cfg, z_q.astype(jnp.bfloat16))
+            return au[:, :, -bs * ae_cfg.frame_length:]
+
+        def run_stream(noise_i):
+            noises, off = [], 0
+            for bs in blocks:
+                noises.append(noise_i[:, off:off + bs])
+                off += bs
+            t0 = time.time()
+            chunks, lat = [], None
+            for prefix, start, bs in sample_blockwise_stream(
+                    dit_params, dit_cfg, sc, speaker_latent, speaker_mask,
+                    ids, text_mask, blocks, noises=noises,
+                    model_dtype=jnp.bfloat16):
+                chunk = _decode_window(prefix, start, bs)
+                force(chunk)
+                if not chunks:
+                    ttfa.append(time.time() - t0)
+                chunks.append(chunk)
+                lat = prefix
+            return lat, jnp.concatenate(chunks, axis=-1)
+
+        def sample(noise_i):  # used by the timed loop below
+            lat, audio = run_stream(noise_i)
+            sample._audio = audio
+            return lat
 
         def decode(lat):
-            z_q = jax.jit(lambda p, l: _pca_mod.deproject(p, l).astype(
-                jnp.bfloat16))(pca, lat)
-            chunks = list(decode_zq_streaming(ae_params, ae_cfg, z_q,
-                                              chunk_frames=64))
-            force(chunks[-1])
-            return jnp.concatenate(chunks, axis=-1)
+            return sample._audio
     else:
         def sample(noise_i):
             return sample_euler_cfg_independent_guidances(
@@ -169,8 +193,13 @@ def main():
     mode = ""
     if force_speaker:
         mode = ", force-speaker kv_scale=1.5"
+    if uncond_cache > 1:
+        mode += f", uncond-cache k={uncond_cache}"
     if blockwise:
-        mode = ", blockwise 2x320 + streamed decode"
+        mode = ", blockwise 4x160 streaming"
+        print(f"# time-to-first-audio {min(ttfa)*1e3:.0f}ms "
+              f"(first 160-latent block = {160*ae_cfg.frame_length/ae_cfg.sample_rate:.1f}s audio)",
+              file=sys.stderr)
     print(json.dumps({
         "metric": ("audio-seconds/s/chip, 40-step dual-CFG Euler @640 latents"
                    " + S1-DAC decode" + (f", batch={batch}" if batch > 1 else "")

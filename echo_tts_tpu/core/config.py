@@ -100,6 +100,12 @@ class SamplerConfig:
     # comment (inference.py:530); 2 forward branches instead of 3 inside the
     # CFG window. Changes guidance semantics, so off by default.
     joint_uncond: bool = False
+    # Refresh the unconditional CFG branches only every k-th window step and
+    # reuse them (with a fresh conditional) in between — SmoothCache-family
+    # cross-step caching (arXiv 2411.10510) applied to the two uncond
+    # branches. 1 = exact reference semantics (default); 2 cuts the default
+    # schedule's NFE from 20x3+20x1 to 10x3+30x1 (~20% wall).
+    uncond_cache_interval: int = 1
 
     @staticmethod
     def from_preset(d: dict, **overrides) -> "SamplerConfig":

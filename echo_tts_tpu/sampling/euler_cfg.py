@@ -79,46 +79,90 @@ def euler_cfg_scan(
     b = x_init.shape[0]
     ts = t_schedule(sc)
     t0 = ts[0]
+    interval = sc.uncond_cache_interval
 
-    def step(x_t, i):
-        t, t_next = ts[i], ts[i + 1]
-        s_vec = _speaker_scale_vec(sc, cfg, t, t0)
-        t_b = jnp.full((b,), t, dtype=jnp.float32).astype(model_dtype)
+    def fwd_cfg(x, t_b, s_vec):
+        v = dit_forward_cfg(
+            params, cfg, x.astype(model_dtype), t_b, text_mask, speaker_mask,
+            kv_text, kv_speaker, rope_q=rope_q, kv_latent=kv_latent,
+            latent_mask=latent_mask, speaker_kv_scale=s_vec,
+            joint_uncond=sc.joint_uncond)
+        v_cond = v[0]
+        if sc.joint_uncond:
+            # single shared unconditional (reference comment,
+            # inference.py:530): both guidance terms use it
+            v_ut = v_us = v[1]
+        else:
+            v_ut, v_us = v[1], v[2]
+        return v_cond, v_ut, v_us
 
-        def with_cfg(x):
-            v = dit_forward_cfg(
-                params, cfg, x.astype(model_dtype), t_b, text_mask, speaker_mask,
-                kv_text, kv_speaker, rope_q=rope_q, kv_latent=kv_latent,
-                latent_mask=latent_mask, speaker_kv_scale=s_vec,
-                joint_uncond=sc.joint_uncond)
-            v_cond = v[0]
-            if sc.joint_uncond:
-                # single shared unconditional (reference comment,
-                # inference.py:530): both guidance terms use it
-                v_ut = v_us = v[1]
-            else:
-                v_ut, v_us = v[1], v[2]
-            return (v_cond
-                    + sc.cfg_scale_text * (v_cond - v_ut)
-                    + sc.cfg_scale_speaker * (v_cond - v_us))
+    def fwd_single(x, t_b, s_vec):
+        return dit_forward(
+            params, cfg, x.astype(model_dtype), t_b, text_mask, speaker_mask,
+            kv_text, kv_speaker, rope_q=rope_q, kv_latent=kv_latent,
+            latent_mask=latent_mask, speaker_kv_scale=s_vec)
 
-        def without_cfg(x):
-            return dit_forward(
-                params, cfg, x.astype(model_dtype), t_b, text_mask, speaker_mask,
-                kv_text, kv_speaker, rope_q=rope_q, kv_latent=kv_latent,
-                latent_mask=latent_mask, speaker_kv_scale=s_vec)
+    def guide(v_cond, v_ut, v_us):
+        return (v_cond
+                + sc.cfg_scale_text * (v_cond - v_ut)
+                + sc.cfg_scale_speaker * (v_cond - v_us))
 
-        has_cfg = jnp.logical_and(t >= sc.cfg_min_t, t <= sc.cfg_max_t)
-        v_pred = jax.lax.cond(has_cfg, with_cfg, without_cfg, x_t)
-
+    def finish(x_t, v_pred, t, t_next):
         if sc.rescale_k is not None and sc.rescale_sigma is not None:
             v_pred = temporal_score_rescale(v_pred, x_t, t, sc.rescale_k,
                                             sc.rescale_sigma)
+        return x_t + v_pred * (t_next - t)
 
-        x_t = x_t + v_pred * (t_next - t)
-        return x_t, None
+    if interval <= 1:
+        # exact reference semantics (default)
+        def step(x_t, i):
+            t, t_next = ts[i], ts[i + 1]
+            s_vec = _speaker_scale_vec(sc, cfg, t, t0)
+            t_b = jnp.full((b,), t, dtype=jnp.float32).astype(model_dtype)
 
-    x_out, _ = jax.lax.scan(step, x_init, jnp.arange(sc.num_steps))
+            def with_cfg(x):
+                return guide(*fwd_cfg(x, t_b, s_vec))
+
+            has_cfg = jnp.logical_and(t >= sc.cfg_min_t, t <= sc.cfg_max_t)
+            v_pred = jax.lax.cond(has_cfg, with_cfg,
+                                  lambda x: fwd_single(x, t_b, s_vec), x_t)
+            return finish(x_t, v_pred, t, t_next), None
+
+        x_out, _ = jax.lax.scan(step, x_init, jnp.arange(sc.num_steps))
+        return x_out
+
+    # uncond-cached CFG (opt-in, SmoothCache-family: arXiv 2411.10510 applies
+    # cross-step caching to DiT sampling; here the cached quantities are the
+    # two unconditional branches): inside the CFG window, refresh v_uncond_*
+    # every `interval`-th window step with the full multi-branch forward and
+    # reuse them (stale, with a FRESH v_cond) in between — NFE for the default
+    # schedule drops from 20*3 + 20*1 to 10*3 + 30*1 at interval=2. NOT
+    # reference semantics: guidance deltas lag up to interval-1 steps.
+    def step(carry, i):
+        x_t, v_ut_c, v_us_c, n_win = carry
+        t, t_next = ts[i], ts[i + 1]
+        s_vec = _speaker_scale_vec(sc, cfg, t, t0)
+        t_b = jnp.full((b,), t, dtype=jnp.float32).astype(model_dtype)
+        has_cfg = jnp.logical_and(t >= sc.cfg_min_t, t <= sc.cfg_max_t)
+        refresh = jnp.logical_and(has_cfg, n_win % interval == 0)
+
+        def do_refresh(x):
+            v_cond, v_ut, v_us = fwd_cfg(x, t_b, s_vec)
+            return guide(v_cond, v_ut, v_us), v_ut, v_us
+
+        def do_single(x):
+            # one forward; guidance from cached unconds when inside the window
+            v_cond = fwd_single(x, t_b, s_vec)
+            v = jnp.where(has_cfg, guide(v_cond, v_ut_c, v_us_c), v_cond)
+            return v, v_ut_c, v_us_c
+
+        v_pred, v_ut_c, v_us_c = jax.lax.cond(refresh, do_refresh, do_single, x_t)
+        x_t = finish(x_t, v_pred, t, t_next)
+        return (x_t, v_ut_c, v_us_c, n_win + has_cfg.astype(jnp.int32)), None
+
+    zeros = jnp.zeros_like(x_init)
+    (x_out, _, _, _), _ = jax.lax.scan(
+        step, (x_init, zeros, zeros, jnp.int32(0)), jnp.arange(sc.num_steps))
     return x_out
 
 

@@ -143,3 +143,60 @@ def test_joint_uncond_mode(setup):
         x = x + v * (ts[i + 1] - ts[i])
     np.testing.assert_allclose(np.asarray(out), np.asarray(x),
                                atol=2e-4, rtol=1e-3)
+
+
+def test_uncond_cache_interval(setup):
+    """uncond_cache_interval=2 (opt-in SmoothCache-style branch caching):
+    equals a manual eager loop that refreshes the uncond branches every 2nd
+    window step and reuses them (with a fresh conditional) in between; also
+    interval=1 stays bit-identical to the default path."""
+    import torch
+
+    from echo_tts_tpu.models.dit import (
+        dit_forward, dit_forward_cfg, get_kv_cache_speaker, get_kv_cache_text)
+    from echo_tts_tpu.sampling.euler_cfg import t_schedule
+
+    tm, params, ref_inf, ids, text_mask, spk, spk_mask = setup
+    mk = lambda k: SamplerConfig(
+        num_steps=6, cfg_scale_text=3.0, cfg_scale_speaker=5.0,
+        cfg_min_t=0.5, cfg_max_t=1.0, truncation_factor=0.9,
+        sequence_length=16, uncond_cache_interval=k)
+    gen = torch.Generator(device="cpu").manual_seed(7)
+    noise = torch.randn((1, 16, CFG.latent_size), generator=gen).numpy()
+    args = (jnp.asarray(spk.numpy()), jnp.asarray(spk_mask.numpy()),
+            jnp.asarray(ids.numpy()), jnp.asarray(text_mask.numpy()),
+            jnp.asarray(noise))
+
+    out1 = sample_euler_cfg_independent_guidances(
+        params, CFG, mk(1), *args, model_dtype=jnp.float32)
+    out2 = sample_euler_cfg_independent_guidances(
+        params, CFG, mk(2), *args, model_dtype=jnp.float32)
+    assert not np.allclose(np.asarray(out1), np.asarray(out2))
+
+    # manual eager loop with the caching schedule
+    sc = mk(2)
+    jtm, jsm = args[3], args[1]
+    kvt = get_kv_cache_text(params, CFG, args[2], jtm)
+    kvs = get_kv_cache_speaker(params, CFG, args[0])
+    ts = t_schedule(sc)
+    x = jnp.asarray(noise) * sc.truncation_factor
+    v_ut = v_us = None
+    n_win = 0
+    for i in range(sc.num_steps):
+        t = float(ts[i])
+        t_b = jnp.full((1,), ts[i])
+        in_win = sc.cfg_min_t <= t <= sc.cfg_max_t
+        if in_win and n_win % 2 == 0:
+            v = dit_forward_cfg(params, CFG, x, t_b, jtm, jsm, kvt, kvs)
+            v_c, v_ut, v_us = v[0], v[1], v[2]
+        else:
+            v_c = dit_forward(params, CFG, x, t_b, jtm, jsm, kvt, kvs)
+        if in_win:
+            v_pred = (v_c + sc.cfg_scale_text * (v_c - v_ut)
+                      + sc.cfg_scale_speaker * (v_c - v_us))
+            n_win += 1
+        else:
+            v_pred = v_c
+        x = x + v_pred * (ts[i + 1] - ts[i])
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(x),
+                               atol=2e-4, rtol=1e-3)
