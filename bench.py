@@ -62,6 +62,7 @@ def main():
     uncond_cache = 1
     if "--uncond-cache" in sys.argv:
         uncond_cache = int(sys.argv[sys.argv.index("--uncond-cache") + 1])
+    joint_uncond = "--joint-uncond" in sys.argv
     dit_cfg = DiTConfig(has_latent_modules=blockwise)
     ae_cfg = AEConfig()
     sc = SamplerConfig(num_steps=STEPS, cfg_scale_text=3.0, cfg_scale_speaker=8.0,
@@ -72,7 +73,8 @@ def main():
                        speaker_kv_scale=1.5 if force_speaker else None,
                        speaker_kv_min_t=0.5 if force_speaker else None,
                        speaker_kv_max_layers=24 if force_speaker else None,
-                       uncond_cache_interval=uncond_cache)
+                       uncond_cache_interval=uncond_cache,
+                       joint_uncond=joint_uncond)
 
     key = jax.random.PRNGKey(0)
     t0 = time.time()
@@ -112,18 +114,18 @@ def main():
         # the serving form (pipeline.sample_pipeline_stream); reports
         # time-to-first-audio alongside throughput
         from echo_tts_tpu.models import pca as _pca_mod
+        from echo_tts_tpu.models.s1dac import decode_zq_window
         from echo_tts_tpu.sampling.blockwise import sample_blockwise_stream
         blocks = (160, 160, 160, 160)
-        ctx = ae_cfg.q_window_size + 32
         ttfa = []
 
         def _decode_window(prefix, start, bs):
-            lo = max(0, start - ctx)
-            z_q = _pca_mod.deproject(pca, prefix[:, lo:start + bs])
-            au = decode_zq(ae_params, ae_cfg, z_q.astype(jnp.bfloat16))
-            return au[:, :, -bs * ae_cfg.frame_length:]
+            z_q = _pca_mod.deproject(pca, prefix[:, :start + bs]).astype(jnp.bfloat16)
+            return decode_zq_window(ae_params, ae_cfg, z_q, start, start + bs)
 
-        def run_stream(noise_i):
+        last_audio = {}
+
+        def sample(noise_i):
             noises, off = [], 0
             for bs in blocks:
                 noises.append(noise_i[:, off:off + bs])
@@ -140,15 +142,11 @@ def main():
                     ttfa.append(time.time() - t0)
                 chunks.append(chunk)
                 lat = prefix
-            return lat, jnp.concatenate(chunks, axis=-1)
-
-        def sample(noise_i):  # used by the timed loop below
-            lat, audio = run_stream(noise_i)
-            sample._audio = audio
+            last_audio["a"] = jnp.concatenate(chunks, axis=-1)
             return lat
 
-        def decode(lat):
-            return sample._audio
+        def decode(lat):  # decode already happened inside the stream
+            return last_audio["a"]
     else:
         def sample(noise_i):
             return sample_euler_cfg_independent_guidances(
@@ -195,8 +193,10 @@ def main():
         mode = ", force-speaker kv_scale=1.5"
     if uncond_cache > 1:
         mode += f", uncond-cache k={uncond_cache}"
+    if joint_uncond:
+        mode += ", joint-uncond"
     if blockwise:
-        mode = ", blockwise 4x160 streaming"
+        mode += ", blockwise 4x160 streaming"
         print(f"# time-to-first-audio {min(ttfa)*1e3:.0f}ms "
               f"(first 160-latent block = {160*ae_cfg.frame_length/ae_cfg.sample_rate:.1f}s audio)",
               file=sys.stderr)

@@ -607,6 +607,37 @@ def decode_zq(params: dict, cfg: AEConfig, z_q: jnp.ndarray) -> jnp.ndarray:
     return decoder_forward(params, cfg, z)
 
 
+def decode_receptive_frames(cfg: AEConfig) -> int:
+    """Left-context extent (in z_q frames) of the decode path: the
+    post_module stacks q_n_layer causal window-limited attention layers, each
+    adding up to (window-1) frames of reach — the STACK's receptive field is
+    q_n_layer*(window-1), not one window (a window transformer is not a
+    sliding-window truncation of the full context) — plus the conv tail
+    (stem/ConvNeXt/res-unit dilations, < 64 frames mapped back to z_q rate)."""
+    n_layers = cfg.q_n_layer
+    win = cfg.q_window_size
+    return n_layers * (win - 1) + 64
+
+
+# jitted decode entry for the streaming paths: per-window shapes are constant
+# in steady state so this compiles a handful of times, instead of dispatching
+# the whole decoder op-by-op per chunk (slow through the axon relay)
+decode_zq_jit = jax.jit(decode_zq, static_argnames=("cfg",))
+
+
+def decode_zq_window(params: dict, cfg: AEConfig, z_q: jnp.ndarray,
+                     start: int, end: int,
+                     context_frames: Optional[int] = None) -> jnp.ndarray:
+    """Decode frames [start, end) of z_q (B, D, T>=end) with enough left
+    context to match the full decode exactly; returns (B, 1, (end-start)*
+    frame_length). Shared by decode_zq_streaming and the serving stream."""
+    if context_frames is None:
+        context_frames = decode_receptive_frames(cfg)
+    lo = max(0, start - context_frames)
+    audio = decode_zq_jit(params, cfg, z_q[:, :, lo:end])
+    return audio[:, :, -(end - start) * cfg.frame_length:]
+
+
 def decode_zq_streaming(params: dict, cfg: AEConfig, z_q: jnp.ndarray,
                         chunk_frames: int = 64,
                         context_frames: Optional[int] = None):
@@ -616,9 +647,10 @@ def decode_zq_streaming(params: dict, cfg: AEConfig, z_q: jnp.ndarray,
     causal=True; README:122-124 cites streaming as the purpose), so a chunk's
     samples depend only on LEFT context. Each chunk is decoded from a window
     [start-context, start+chunk) and the last chunk*frame_length samples are
-    emitted — bit-identical to the full decode once `context_frames` covers
-    the receptive field (post-transformer window q_window_size z_q frames +
-    the conv stack's tail; verified vs full decode in tests).
+    emitted — identical to the full decode when `context_frames` covers the
+    receptive field (default: `decode_receptive_frames`, the stacked
+    post-transformer reach q_n_layer*(q_window_size-1) + conv tail; verified
+    vs full decode in tests).
 
     After the first ~context/chunk chunks the window size is constant, so one
     compiled executable serves the steady state (a handful of smaller shapes
@@ -627,13 +659,7 @@ def decode_zq_streaming(params: dict, cfg: AEConfig, z_q: jnp.ndarray,
     internal left-pad). This is the blockwise/continuation streaming path
     (BASELINE config 4).
     """
-    if context_frames is None:
-        # window-limited post transformer dominates the receptive field
-        context_frames = cfg.q_window_size + 32
     b, d, t = z_q.shape
     for start in range(0, t, chunk_frames):
         end = min(start + chunk_frames, t)
-        lo = max(0, start - context_frames)
-        audio = decode_zq(params, cfg, z_q[:, :, lo:end])
-        n_out = (end - start) * cfg.frame_length
-        yield audio[:, :, -n_out:]
+        yield decode_zq_window(params, cfg, z_q, start, end, context_frames)

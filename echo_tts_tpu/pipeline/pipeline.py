@@ -176,25 +176,30 @@ def sample_pipeline_stream(
 
     End-of-speech: when `stop_at_flattening`, the flattening-point detector
     (reference: inference.py:315-338) runs on the latents generated so far
-    after each block; the final chunk is cropped at the detected frame and
-    generation STOPS — unconsumed blocks are never sampled (the reference
-    always generates all 640 latents and crops afterwards).
+    after each block, counting only windows FULLY inside the observed data
+    (the detector zero-pads past its input, which would fake "flat" windows
+    at every block boundary). Emission is held back by one detector window
+    (~0.93 s) so audio past the flattening point is never sent; the stream
+    crops exactly where the one-shot path would and STOPS — unlike the
+    reference, which always generates all 640 latents and crops afterwards.
 
     Exactness: each block's waveform comes from decoding z_q over
     [block_start - context, block_end) and emitting the tail — identical to
-    the full decode once `decode_context_frames` covers the receptive field
-    (models/s1dac.py:decode_zq_streaming; verified in tests). Requires a
-    checkpoint WITH blockwise modules (cfg.has_latent_modules).
+    the full decode when `decode_context_frames` covers the receptive field
+    (default models/s1dac.py:decode_receptive_frames; verified in tests).
+    Requires a checkpoint WITH blockwise modules (cfg.has_latent_modules).
     """
     from echo_tts_tpu.models import pca as pca_mod
-    from echo_tts_tpu.models.s1dac import decode_zq
-    from echo_tts_tpu.pipeline.flattening import find_flattening_point
+    from echo_tts_tpu.models.s1dac import decode_zq_window
+    from echo_tts_tpu.pipeline import flattening
     from echo_tts_tpu.sampling.blockwise import sample_blockwise_stream
 
     if not tts.dit_cfg.has_latent_modules:
         raise ValueError(
             "streaming generation needs the blockwise (latent-prefix) modules;"
             " this checkpoint was converted with delete_blockwise_modules")
+    if block_size < 1:
+        raise ValueError(f"block_size must be >= 1, got {block_size}")
     sc = sc or SamplerConfig()
     ids, text_mask, _, speaker_latent, speaker_mask, _ = _prepare_inputs(
         tts, text_prompt, speaker_audio, normalize_text, None, None, True)
@@ -202,9 +207,9 @@ def sample_pipeline_stream(
     n_blocks = -(-sc.sequence_length // block_size)
     block_sizes = [min(block_size, sc.sequence_length - i * block_size)
                    for i in range(n_blocks)]
-    if decode_context_frames is None:
-        decode_context_frames = tts.ae_cfg.q_window_size + 32
     spl = tts.ae_cfg.frame_length
+    window = 20  # detector window (reference: inference.py:315)
+    ae_dtype = jax.tree_util.tree_leaves(tts.ae_params)[0].dtype
 
     # same RNG contract as one-shot: noise for block i is the one-shot noise
     # tensor's rows [start_i, end_i) (blockwise-vs-oneshot consistency tests)
@@ -214,6 +219,19 @@ def sample_pipeline_stream(
         noises.append(full_noise[:, off:off + bs])
         off += bs
 
+    # emitted_to: frames whose audio has been yielded; decoded_to: frames
+    # whose audio exists. The gap (<= window) is the holdback that lets a
+    # flattening point near a block boundary crop audio BEFORE it is sent.
+    emitted_to = 0
+    pending = None  # held-back audio (1, 1, <=window*spl), frames [emitted_to, decoded_to)
+
+    def decode_span(prefix, lo_frame, hi_frame):
+        z_q = pca_mod.deproject(tts.pca, prefix[:, :hi_frame]).astype(ae_dtype)
+        return np.asarray(decode_zq_window(
+            tts.ae_params, tts.ae_cfg, z_q, lo_frame, hi_frame,
+            decode_context_frames), np.float32)
+
+    total = sum(block_sizes)
     for prefix, start, bs in sample_blockwise_stream(
             tts.dit_params, tts.dit_cfg, sc,
             jnp.asarray(speaker_latent), jnp.asarray(speaker_mask),
@@ -221,16 +239,30 @@ def sample_pipeline_stream(
             block_sizes, noises=noises, rng_seed=rng_seed,
             model_dtype=tts.model_dtype):
         end = start + bs
-        lo = max(0, start - decode_context_frames)
-        z_q = pca_mod.deproject(tts.pca, prefix[:, lo:end])  # (B, 1024, T)
-        ae_dtype = jax.tree_util.tree_leaves(tts.ae_params)[0].dtype
-        audio = decode_zq(tts.ae_params, tts.ae_cfg, z_q.astype(ae_dtype))
-        chunk = np.asarray(audio[:, :, -bs * spl:], np.float32)
+        is_final = end == total
+        audio = decode_span(prefix, emitted_to, end)  # frames [emitted_to, end)
+        if pending is not None:
+            # pending covers [emitted_to, start): prefer the fresh decode
+            # (identical by causality); drop the stale copy
+            pending = None
 
+        fp = None
         if stop_at_flattening:
-            fp = int(find_flattening_point(np.asarray(prefix[0, :end], np.float32)))
-            if fp < end:
-                keep = max(0, fp - start)
-                yield chunk[:, :, : keep * spl]
-                return
-        yield chunk
+            cand = int(flattening.find_flattening_point(
+                np.asarray(prefix[0, :end], np.float32)))
+            # non-final blocks: only windows fully inside the data are real —
+            # the detector's zero-pad fakes flatness at the boundary
+            if cand <= end - window or (is_final and cand < end):
+                fp = cand
+        if fp is not None and fp < end:
+            keep = max(0, fp - emitted_to)
+            yield audio[:, :, : keep * spl]
+            return
+        if is_final:
+            yield audio
+            return
+        # hold back the last `window` frames of decoded audio
+        hold_from = max(emitted_to, end - window)
+        yield audio[:, :, : (hold_from - emitted_to) * spl]
+        pending = audio[:, :, (hold_from - emitted_to) * spl:]
+        emitted_to = hold_from

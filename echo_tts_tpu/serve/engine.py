@@ -104,14 +104,22 @@ class Engine:
         with self._lock:
             t0 = time.perf_counter()
             n_samples = 0
-            for chunk in sample_pipeline_stream(
-                    self.tts, text, speaker_audio, seed, sc=sc,
-                    block_size=block_size, normalize_text=normalize_text):
-                n_samples += chunk.shape[-1]
-                yield chunk
-            self.stats["requests"] += 1
-            self.stats["total_sample_s"] += time.perf_counter() - t0
-            self.stats["total_audio_s"] += n_samples / self.tts.ae_cfg.sample_rate
+            done = False
+            try:
+                for chunk in sample_pipeline_stream(
+                        self.tts, text, speaker_audio, seed, sc=sc,
+                        block_size=block_size, normalize_text=normalize_text):
+                    n_samples += chunk.shape[-1]
+                    yield chunk
+                done = True
+            finally:
+                # count the request even when the client disconnects
+                # mid-stream (GeneratorExit) or the device errors out
+                self.stats["requests"] += 1
+                if not done:
+                    self.stats["failures"] += 1
+                self.stats["total_sample_s"] += time.perf_counter() - t0
+                self.stats["total_audio_s"] += n_samples / self.tts.ae_cfg.sample_rate
 
     def health(self) -> dict:
         return {"status": "ok", "lora": self._current_lora_path, **self.stats}

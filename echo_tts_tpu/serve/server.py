@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import base64
 import json
+import logging
 import tempfile
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -53,6 +54,11 @@ def _wav_bytes(audio: np.ndarray, sr: int) -> bytes:
 
 def make_handler(engine: Engine, presets: Dict[str, SamplerConfig]):
     class Handler(BaseHTTPRequestHandler):
+        # chunked transfer (used by /tts_stream) is HTTP/1.1-only; 1.0
+        # clients would read the chunk framing as PCM bytes. All other
+        # responses carry Content-Length, so keep-alive is safe.
+        protocol_version = "HTTP/1.1"
+
         def log_message(self, *a):  # quiet
             pass
 
@@ -114,25 +120,45 @@ def make_handler(engine: Engine, presets: Dict[str, SamplerConfig]):
 
                 if self.path == "/tts_stream":
                     # chunked raw PCM16: length unknown up front (early stop
-                    # at the flattening point), so WAV headers don't fit
+                    # at the flattening point), so WAV headers don't fit.
+                    # Pull the FIRST chunk before committing the 200 — setup
+                    # errors (no blockwise modules, bad block_size) still get
+                    # a clean JSON error; after headers the only safe failure
+                    # mode is closing the connection (a second status line
+                    # would corrupt the stream).
+                    gen = engine.generate_stream(
+                        text, speaker, seed=seed, sc=sc,
+                        block_size=int(req.get("block_size", 160)),
+                        normalize_text=bool(req.get("normalize_text", True)))
+                    try:
+                        first = next(gen)
+                    except StopIteration:
+                        first = None
                     self.send_response(200)
                     self.send_header("Content-Type", "audio/L16")
                     self.send_header("X-Sample-Rate",
                                      str(engine.tts.ae_cfg.sample_rate))
                     self.send_header("Transfer-Encoding", "chunked")
                     self.end_headers()
-                    for chunk in engine.generate_stream(
-                            text, speaker, seed=seed, sc=sc,
-                            block_size=int(req.get("block_size", 160)),
-                            normalize_text=bool(req.get("normalize_text", True))):
+
+                    def emit(chunk):
                         pcm = np.clip(chunk[0, 0] * 32767.0, -32768, 32767
                                       ).astype("<i2").tobytes()
-                        if not pcm:
-                            continue
-                        self.wfile.write(f"{len(pcm):X}\r\n".encode())
-                        self.wfile.write(pcm)
-                        self.wfile.write(b"\r\n")
-                    self.wfile.write(b"0\r\n\r\n")
+                        if pcm:
+                            self.wfile.write(f"{len(pcm):X}\r\n".encode())
+                            self.wfile.write(pcm)
+                            self.wfile.write(b"\r\n")
+
+                    try:
+                        if first is not None:
+                            emit(first)
+                        for chunk in gen:
+                            emit(chunk)
+                        self.wfile.write(b"0\r\n\r\n")
+                    except Exception as e:  # mid-stream: abort, don't 500
+                        self.close_connection = True
+                        logging.getLogger("echo_tts_tpu.serve").warning(
+                            "tts_stream aborted mid-stream: %s", e)
                     return
 
                 audio, normalized, timings = engine.generate(

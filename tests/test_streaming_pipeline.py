@@ -35,7 +35,7 @@ def test_stream_matches_blockwise_full_decode(tiny_tts):  # noqa: F811
     chunks = list(sample_pipeline_stream(
         tts, TEXT, None, rng_seed=3, sc=SC, block_size=8,
         normalize_text=True, stop_at_flattening=False))
-    assert len(chunks) == 2
+    assert len(chunks) == 2  # one yield per block (first may be held back)
     streamed = np.concatenate(chunks, axis=-1)
 
     ids, text_mask, spk_lat, spk_mask = _prep(tts)
@@ -63,9 +63,11 @@ def test_stream_early_stop_at_flattening(tiny_tts, monkeypatch):  # noqa: F811
         tts, TEXT, None, rng_seed=3, sc=SC, block_size=8,
         normalize_text=True, stop_at_flattening=True))
     spl = tts.ae_cfg.frame_length
-    assert len(chunks) == 2
-    assert chunks[0].shape[-1] == 8 * spl
-    assert chunks[1].shape[-1] == 2 * spl  # cropped at frame 10 and stopped
+    # blocks are smaller than the 20-frame detector window, so block 1 is
+    # fully held back; the final block crops at frame 10 — total audio is
+    # exactly 10 frames and nothing past the flattening point was emitted
+    total = sum(c.shape[-1] for c in chunks)
+    assert total == 10 * spl
 
 
 def test_stream_requires_latent_modules(tiny_tts):  # noqa: F811
@@ -76,3 +78,26 @@ def test_stream_requires_latent_modules(tiny_tts):  # noqa: F811
         tts, dit_cfg=dataclasses.replace(tts.dit_cfg, has_latent_modules=False))
     with pytest.raises(ValueError, match="blockwise"):
         next(sample_pipeline_stream(tts2, TEXT, None, 0, sc=SC))
+
+
+def test_stream_holdback_crops_before_emission(tiny_tts, monkeypatch):  # noqa: F811
+    """A flattening point inside the last detector-window of a block must not
+    leak audio past it: detection is deferred to the next block, but the
+    holdback means those frames were never emitted."""
+    import dataclasses
+
+    _, _, tts = tiny_tts
+    from echo_tts_tpu.pipeline import flattening
+
+    sc = dataclasses.replace(SC, sequence_length=64)
+    monkeypatch.setattr(flattening, "find_flattening_point",
+                        lambda data, **kw: np.int32(min(30, data.shape[0])))
+    chunks = list(sample_pipeline_stream(
+        tts, TEXT, None, rng_seed=3, sc=sc, block_size=32,
+        normalize_text=True, stop_at_flattening=True))
+    spl = tts.ae_cfg.frame_length
+    # block 1 (frames 0..32): cand=30 is inside its last window -> deferred;
+    # emits frames [0, 12), holds [12, 32). block 2 (final): fp=30 -> emits
+    # [12, 30) and stops. Total exactly 30 frames, never more.
+    total = sum(c.shape[-1] for c in chunks)
+    assert total == 30 * spl
