@@ -164,6 +164,7 @@ def sample_pipeline_stream(
     normalize_text: bool = False,
     stop_at_flattening: bool = True,
     decode_context_frames: Optional[int] = None,
+    continuation_audio: Optional[np.ndarray] = None,
 ):
     """Streaming generation: blockwise sampling + causal streamed decode.
 
@@ -188,10 +189,18 @@ def sample_pipeline_stream(
     the full decode when `decode_context_frames` covers the receptive field
     (default models/s1dac.py:decode_receptive_frames; verified in tests).
     Requires a checkpoint WITH blockwise modules (cfg.has_latent_modules).
+
+    Continuation (reference: inference_blockwise.py:126-220): when
+    `continuation_audio` (1, samples) is given, it is AE-encoded to latents
+    that seed the blockwise prefix; `text_prompt` must include the
+    continuation's transcript (the reference re-transcribes it,
+    inference_blockwise.py:189-190). Only NEW audio is emitted; the
+    flattening detector runs on the generated region only.
     """
     from echo_tts_tpu.models import pca as pca_mod
     from echo_tts_tpu.models.s1dac import decode_zq_window
     from echo_tts_tpu.pipeline import flattening
+    from echo_tts_tpu.pipeline.speaker import ae_encode
     from echo_tts_tpu.sampling.blockwise import sample_blockwise_stream
 
     if not tts.dit_cfg.has_latent_modules:
@@ -211,6 +220,13 @@ def sample_pipeline_stream(
     window = 20  # detector window (reference: inference.py:315)
     ae_dtype = jax.tree_util.tree_leaves(tts.ae_params)[0].dtype
 
+    cont_latent, cont_len = None, 0
+    if continuation_audio is not None:
+        audio_in = jnp.asarray(continuation_audio, jnp.float32)[:, None, :]
+        cont_latent = ae_encode(tts.ae_params, tts.ae_cfg, tts.pca,
+                                audio_in.astype(ae_dtype))
+        cont_len = cont_latent.shape[1]
+
     # same RNG contract as one-shot: noise for block i is the one-shot noise
     # tensor's rows [start_i, end_i) (blockwise-vs-oneshot consistency tests)
     full_noise = draw_noise(rng_seed, (1, sc.sequence_length, tts.dit_cfg.latent_size))
@@ -222,7 +238,8 @@ def sample_pipeline_stream(
     # emitted_to: frames whose audio has been yielded; decoded_to: frames
     # whose audio exists. The gap (<= window) is the holdback that lets a
     # flattening point near a block boundary crop audio BEFORE it is sent.
-    emitted_to = 0
+    # Continuation frames are context only — never re-emitted.
+    emitted_to = cont_len
     pending = None  # held-back audio (1, 1, <=window*spl), frames [emitted_to, decoded_to)
 
     def decode_span(prefix, lo_frame, hi_frame):
@@ -231,12 +248,13 @@ def sample_pipeline_stream(
             tts.ae_params, tts.ae_cfg, z_q, lo_frame, hi_frame,
             decode_context_frames), np.float32)
 
-    total = sum(block_sizes)
+    total = cont_len + sum(block_sizes)
     for prefix, start, bs in sample_blockwise_stream(
             tts.dit_params, tts.dit_cfg, sc,
             jnp.asarray(speaker_latent), jnp.asarray(speaker_mask),
             jnp.asarray(ids), jnp.asarray(text_mask),
             block_sizes, noises=noises, rng_seed=rng_seed,
+            continuation_latent=cont_latent,
             model_dtype=tts.model_dtype):
         end = start + bs
         is_final = end == total
@@ -248,8 +266,10 @@ def sample_pipeline_stream(
 
         fp = None
         if stop_at_flattening:
-            cand = int(flattening.find_flattening_point(
-                np.asarray(prefix[0, :end], np.float32)))
+            # detect on the GENERATED region only (continuation audio may
+            # contain legitimate silence)
+            cand = cont_len + int(flattening.find_flattening_point(
+                np.asarray(prefix[0, cont_len:end], np.float32)))
             # non-final blocks: only windows fully inside the data are real —
             # the detector's zero-pad fakes flatness at the boundary
             if cand <= end - window or (is_final and cand < end):

@@ -93,11 +93,13 @@ class Engine:
         sc: Optional[SamplerConfig] = None,
         block_size: int = 160,
         normalize_text: bool = True,
+        continuation_audio: Optional[np.ndarray] = None,
     ):
         """Yields fp32 waveform chunks (1, 1, n) as latent blocks complete
         (pipeline.sample_pipeline_stream). Holds the device lock for the
         whole stream — one streaming request at a time, matching the
-        single-writer discipline above."""
+        single-writer discipline above. `continuation_audio` seeds the
+        blockwise prefix (its transcript must be part of `text`)."""
         from echo_tts_tpu.pipeline.pipeline import sample_pipeline_stream
 
         sc = sc or SamplerConfig()
@@ -108,7 +110,8 @@ class Engine:
             try:
                 for chunk in sample_pipeline_stream(
                         self.tts, text, speaker_audio, seed, sc=sc,
-                        block_size=block_size, normalize_text=normalize_text):
+                        block_size=block_size, normalize_text=normalize_text,
+                        continuation_audio=continuation_audio):
                     n_samples += chunk.shape[-1]
                     yield chunk
                 done = True

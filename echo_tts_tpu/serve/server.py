@@ -15,7 +15,10 @@ Endpoints:
                 "speaker_wav_b64": base64 WAV bytes (optional),
                 "speaker_path": server-side path (optional)}
        -> audio/wav bytes (reference wav-save path: gradio_app.py:376-408)
-  POST /tts_stream  same body as /tts, plus "block_size" (default 160 latents)
+  POST /tts_stream  same body as /tts, plus "block_size" (default 160
+       latents) and optional "continuation_wav_b64"/"continuation_path"
+       (seed audio to continue from; its transcript must be included in
+       "text", reference inference_blockwise.py:189-190)
        -> chunked audio/L16 (raw mono PCM16, X-Sample-Rate header): one chunk
        per sampled latent block as it is decoded (blockwise sampling + causal
        streamed S1-DAC decode; stops early at the end-of-speech flattening
@@ -108,15 +111,18 @@ def make_handler(engine: Engine, presets: Dict[str, SamplerConfig]):
                               if k in SamplerConfig.__dataclass_fields__}
                     sc = SamplerConfig.from_preset(fields) if fields else SamplerConfig()
 
-                speaker = None
-                if req.get("speaker_wav_b64"):
-                    raw = base64.b64decode(req["speaker_wav_b64"])
-                    with tempfile.NamedTemporaryFile(suffix=".wav") as f:
-                        f.write(raw)
-                        f.flush()
-                        speaker = load_audio(f.name)
-                elif req.get("speaker_path"):
-                    speaker = load_audio(req["speaker_path"])
+                def _load_req_audio(b64_key, path_key):
+                    if req.get(b64_key):
+                        raw = base64.b64decode(req[b64_key])
+                        with tempfile.NamedTemporaryFile(suffix=".wav") as f:
+                            f.write(raw)
+                            f.flush()
+                            return load_audio(f.name)
+                    if req.get(path_key):
+                        return load_audio(req[path_key])
+                    return None
+
+                speaker = _load_req_audio("speaker_wav_b64", "speaker_path")
 
                 if self.path == "/tts_stream":
                     # chunked raw PCM16: length unknown up front (early stop
@@ -126,10 +132,13 @@ def make_handler(engine: Engine, presets: Dict[str, SamplerConfig]):
                     # a clean JSON error; after headers the only safe failure
                     # mode is closing the connection (a second status line
                     # would corrupt the stream).
+                    continuation = _load_req_audio("continuation_wav_b64",
+                                                   "continuation_path")
                     gen = engine.generate_stream(
                         text, speaker, seed=seed, sc=sc,
                         block_size=int(req.get("block_size", 160)),
-                        normalize_text=bool(req.get("normalize_text", True)))
+                        normalize_text=bool(req.get("normalize_text", True)),
+                        continuation_audio=continuation)
                     try:
                         first = next(gen)
                     except StopIteration:

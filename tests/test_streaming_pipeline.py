@@ -101,3 +101,39 @@ def test_stream_holdback_crops_before_emission(tiny_tts, monkeypatch):  # noqa: 
     # [12, 30) and stops. Total exactly 30 frames, never more.
     total = sum(c.shape[-1] for c in chunks)
     assert total == 30 * spl
+
+
+def test_stream_continuation(tiny_tts):  # noqa: F811
+    """Continuation mode: seed audio is AE-encoded into the blockwise prefix;
+    only NEW frames are emitted, and they match the non-streamed blockwise
+    continuation path decoded over the generated region."""
+    _, _, tts = tiny_tts
+    rng = np.random.default_rng(5)
+    spl = tts.ae_cfg.frame_length
+    cont_audio = (0.2 * rng.standard_normal(8 * spl)).astype(np.float32)[None]
+
+    chunks = list(sample_pipeline_stream(
+        tts, TEXT, None, rng_seed=4, sc=SC, block_size=8,
+        normalize_text=True, stop_at_flattening=False,
+        continuation_audio=cont_audio))
+    streamed = np.concatenate(chunks, axis=-1)
+    assert streamed.shape[-1] == SC.sequence_length * spl  # new audio only
+
+    # reference path: encode continuation, run non-streamed blockwise with
+    # the same per-block noises, full-decode, compare the generated region
+    from echo_tts_tpu.pipeline.speaker import ae_encode
+
+    ids, text_mask, spk_lat, spk_mask = _prep(tts)
+    cont_lat = ae_encode(tts.ae_params, tts.ae_cfg, tts.pca,
+                         jnp.asarray(cont_audio)[:, None, :])
+    cont_len = cont_lat.shape[1]
+    noise = draw_noise(4, (1, SC.sequence_length, tts.dit_cfg.latent_size))
+    lat = sample_blockwise_euler_cfg_independent_guidances(
+        tts.dit_params, tts.dit_cfg, SC,
+        jnp.asarray(spk_lat), jnp.asarray(spk_mask),
+        jnp.asarray(ids), jnp.asarray(text_mask),
+        (8, 8), noises=[noise[:, :8], noise[:, 8:]],
+        continuation_latent=cont_lat, model_dtype=tts.model_dtype)
+    full = np.asarray(ae_decode(tts.ae_params, tts.ae_cfg, tts.pca, lat))
+    np.testing.assert_allclose(streamed, full[:, :, cont_len * spl:],
+                               atol=2e-5, rtol=0)
