@@ -11,6 +11,8 @@ Endpoints:
   GET  /health                         -> engine stats
   GET  /presets                        -> sampler preset dict
   POST /lora   {"path": ..., "strength": ...}  (null path reverts to base)
+  POST /reconstruct {"wav_b64": ... or "path": ...} -> audio/wav AE round-trip
+       of the first 30 s (audition; reference gradio_app.py:390-403)
   POST /tts    {"text": ..., "preset": or sampler fields, "seed": int,
                 "speaker_wav_b64": base64 WAV bytes (optional),
                 "speaker_path": server-side path (optional)}
@@ -95,6 +97,41 @@ def make_handler(engine: Engine, presets: Dict[str, SamplerConfig]):
                     return self._json(200, {"ok": True})
                 except Exception as e:
                     return self._json(400, {"error": str(e)})
+
+            if self.path == "/reconstruct":
+                # AE round-trip audition of the first 30 s (reference:
+                # gradio_app.py:390-403, inference.py:238-244)
+                try:
+                    from echo_tts_tpu.pipeline.speaker import ae_reconstruct
+
+                    audio = None
+                    if req.get("wav_b64"):
+                        raw = base64.b64decode(req["wav_b64"])
+                        with tempfile.NamedTemporaryFile(suffix=".wav") as f:
+                            f.write(raw)
+                            f.flush()
+                            audio = load_audio(f.name)
+                    elif req.get("path"):
+                        audio = load_audio(req["path"])
+                    if audio is None:
+                        return self._json(400, {"error": "wav_b64 or path required"})
+                    import jax.numpy as jnp
+
+                    sr = engine.tts.ae_cfg.sample_rate
+                    audio = audio[:, : 30 * sr]
+                    rec = np.asarray(ae_reconstruct(
+                        engine.tts.ae_params, engine.tts.ae_cfg,
+                        engine.tts.pca, jnp.asarray(audio)[:, None, :]),
+                        np.float32)
+                    wav = _wav_bytes(rec[0], sr)
+                    self.send_response(200)
+                    self.send_header("Content-Type", "audio/wav")
+                    self.send_header("Content-Length", str(len(wav)))
+                    self.end_headers()
+                    self.wfile.write(wav)
+                except Exception as e:
+                    self._json(500, {"error": str(e)})
+                return
 
             if self.path not in ("/tts", "/tts_stream"):
                 return self._json(404, {"error": "not found"})

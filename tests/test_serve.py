@@ -134,3 +134,25 @@ def test_http_tts_stream(engine):
         assert np.isfinite(audio).all() and np.abs(audio).max() > 0
     finally:
         httpd.shutdown()
+
+
+def test_http_reconstruct(engine, tmp_path):
+    """AE round-trip audition endpoint (reference: gradio_app.py:390-403)."""
+    from echo_tts_tpu.pipeline.audio_io import write_wav
+
+    httpd = serve(engine, port=0, background=True)
+    port = httpd.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    try:
+        n = engine.tts.ae_cfg.frame_length * 16
+        rng = np.random.default_rng(9)
+        p = str(tmp_path / "r.wav")
+        write_wav(p, (0.2 * rng.standard_normal(n)).astype(np.float32)[None],
+                  engine.tts.ae_cfg.sample_rate)
+        body = json.dumps({"path": p}).encode()
+        req = urllib.request.Request(f"{base}/reconstruct", data=body,
+                                     headers={"Content-Type": "application/json"})
+        resp = urllib.request.urlopen(req)
+        assert resp.read()[:4] == b"RIFF"
+    finally:
+        httpd.shutdown()
