@@ -155,14 +155,42 @@ def maybe_hf_download(repo_id: str, filename: str, token: Optional[str] = None) 
     return hf_hub_download(repo_id, filename, token=token)
 
 
-def save_orbax(path: str, tree: Any) -> None:  # pragma: no cover - optional dep
+def load_pytree_sharded(path: str, mesh, dtype=None) -> Any:
+    """Load a params pytree and place it straight onto a device mesh with the
+    TP sharding from parallel.sharding.param_pspecs (replicated over dp) —
+    the SURVEY §5.4 "sharded load across the mesh" path. Each leaf is
+    device_put once, so no full replicated copy materializes per device."""
+    from jax.sharding import NamedSharding
+
+    from echo_tts_tpu.parallel.sharding import param_pspecs
+
+    tree = load_pytree(path, dtype=dtype)
+    specs = param_pspecs(tree)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tree, specs)
+
+
+def save_orbax(path: str, tree: Any) -> None:
+    """Orbax StandardCheckpointer save. The checkpointer must be closed —
+    finalization (tmp-dir rename) is asynchronous and a dropped instance
+    leaves no visible checkpoint behind."""
     import orbax.checkpoint as ocp
 
-    ocp.StandardCheckpointer().save(path, tree, force=True)
+    ck = ocp.StandardCheckpointer()
+    try:
+        ck.save(path, tree, force=True)
+    finally:
+        ck.close()
 
 
-def load_orbax(path: str, like: Any = None) -> Any:  # pragma: no cover
+def load_orbax(path: str, like: Any = None) -> Any:
+    """Restore an Orbax StandardCheckpointer checkpoint; `like` supplies the
+    target structure (and shardings, when its leaves are sharded jax arrays —
+    Orbax then restores each shard directly onto its device)."""
     import orbax.checkpoint as ocp
 
-    ckpt = ocp.StandardCheckpointer()
-    return ckpt.restore(path, args=ocp.args.StandardRestore(like) if like is not None else None)
+    ck = ocp.StandardCheckpointer()
+    try:
+        return ck.restore(path, target=like)
+    finally:
+        ck.close()
