@@ -311,6 +311,9 @@ def _dit_forward_grouped(
     speaker_kv_scale: Optional[jnp.ndarray],      # (L,) use-site scale or None
     branch_skips: Tuple[tuple, tuple] = ((), ()), # static: CFG branches whose
     #   mask fully zeroes (text, speaker) — lets the Pallas kernel skip dots
+    remat: bool = False,   # rematerialize the trunk body (training: without
+    #   it the scan saves every layer's intermediates and full-size
+    #   finetuning OOMs; ~1/3 extra fwd FLOPs in the bwd pass)
 ) -> jnp.ndarray:
     """Core trunk (reference: model.py:563-604). Returns fp32 (G, B, S, D_lat)."""
     g, b, s, _ = x.shape
@@ -401,7 +404,7 @@ def _dit_forward_grouped(
         x = x + per["m_gate"] * swiglu_mlp(h, p["mlp"])
         return x, None
 
-    x, _ = jax.lax.scan(body, x, per)
+    x, _ = jax.lax.scan(jax.checkpoint(body) if remat else body, x, per)
 
     x = rms_norm(x, params["out_norm"], eps)
     x = x @ params["out_proj"]["w"] + params["out_proj"]["b"]
@@ -417,6 +420,7 @@ def dit_forward(
     speaker_mask: jnp.ndarray,          # (B, S_spk_latents) bool (pre-stride)
     kv_text, kv_speaker,
     rope_q=None, kv_latent=None, latent_mask=None, speaker_kv_scale=None,
+    remat: bool = False,
 ) -> jnp.ndarray:
     """Single-branch forward (reference: model.py:563-604), fp32 output.
 
@@ -432,7 +436,8 @@ def dit_forward(
         params, cfg, x[None], t, text_mask[None], spk_mask[None],
         kv_text, kv_speaker, rope_q,
         kv_latent if has_latent else None,
-        latent_mask[None] if has_latent else None, speaker_kv_scale)
+        latent_mask[None] if has_latent else None, speaker_kv_scale,
+        remat=remat)
     return out[0]
 
 

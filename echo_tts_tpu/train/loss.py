@@ -56,9 +56,21 @@ def compute_diffusion_loss(
         kv_text = jax.lax.stop_gradient(kv_text)
         kv_speaker = jax.lax.stop_gradient(kv_speaker)
 
-    v_pred = dit_forward(
-        params, cfg, x_t.astype(model_dtype), t.astype(model_dtype),
-        text_mask, speaker_mask, kv_text, kv_speaker)
+    # remat the trunk: without it the scan's backward saves every layer's
+    # intermediates and full-size finetuning runs out of HBM.
+    # Force the XLA attention path at trace time — the Pallas kernel has no
+    # autodiff rule (training differentiates the trunk; the dispatch default
+    # would pick the kernel on TPU and fail linearization).
+    from echo_tts_tpu.models import dit as dit_mod
+
+    prev_impl = dit_mod._ATTN_IMPL
+    dit_mod.set_attention_impl("xla")
+    try:
+        v_pred = dit_forward(
+            params, cfg, x_t.astype(model_dtype), t.astype(model_dtype),
+            text_mask, speaker_mask, kv_text, kv_speaker, remat=True)
+    finally:
+        dit_mod._ATTN_IMPL = prev_impl
 
     err = jnp.square(v_pred.astype(jnp.float32) - v_target)
     w = jnp.linspace(time_weight_range[0], time_weight_range[1], t_len)
