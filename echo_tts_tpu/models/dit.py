@@ -192,12 +192,16 @@ def get_kv_cache_latent(params: dict, cfg: DiTConfig, prefix_latent):
 #   "xla"              — einsum softmax (reference semantics, autodiff-friendly)
 #   "pallas"           — force the Pallas kernel (compiled)
 #   "pallas_interpret" — Pallas in interpreter mode (CPU kernel tests)
+#   "pallas_vjp"       — kernel forward + XLA-math custom VJP (training on
+#                        TPU: kernel-speed forwards inside the remat'd trunk)
+#   "pallas_vjp_interpret" — same, interpreter mode (CPU tests)
 _ATTN_IMPL = "auto"
 
 
 def set_attention_impl(impl: str) -> None:
     global _ATTN_IMPL
-    assert impl in ("auto", "xla", "pallas", "pallas_interpret"), impl
+    assert impl in ("auto", "xla", "pallas", "pallas_interpret",
+                    "pallas_vjp", "pallas_vjp_interpret"), impl
     _ATTN_IMPL = impl
 
 
@@ -225,6 +229,15 @@ def _joint_attention_grouped(q, k_self, v_self, segments, layout: str = "hm"):
     Returns the same layout as q.
     """
     impl = _pick_attention_impl(q.shape[-1])
+    if impl in ("pallas_vjp", "pallas_vjp_interpret"):
+        from echo_tts_tpu.ops.pallas_attention import (
+            joint_attention_grouped_trainable,
+        )
+
+        assert layout == "hm", "trainable path is head-major"
+        return joint_attention_grouped_trainable(
+            q, k_self, v_self, [s[:4] for s in segments],
+            interpret=(impl == "pallas_vjp_interpret"))
     if impl in ("pallas", "pallas_interpret"):
         from echo_tts_tpu.ops.pallas_attention import joint_attention_grouped_pallas
 

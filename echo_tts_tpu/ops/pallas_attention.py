@@ -196,8 +196,13 @@ def joint_attention_grouped_pallas(q, k_self, v_self, segments,
         else:
             s_arr = jnp.asarray(s_kv_scale, jnp.float32).reshape(1)
         # bool -> additive fp32 bias outside the kernel (XLA-land, ~KBs);
-        # in-kernel bool selects relayout at ~0.7 ms/layer (module docstring)
-        bias = jnp.where(mask, jnp.float32(0.0), jnp.float32(_NEG))
+        # in-kernel bool selects relayout at ~0.7 ms/layer (module docstring).
+        # Callers may pass a pre-built fp32 bias instead of a bool mask
+        # (the trainable custom_vjp path keeps everything float).
+        if mask.dtype == jnp.bool_:
+            bias = jnp.where(mask, jnp.float32(0.0), jnp.float32(_NEG))
+        else:
+            bias = mask.astype(jnp.float32)
         args += [k, v, bias[:, :, None, :], s_arr]
 
     if seq_major:
@@ -222,3 +227,86 @@ def joint_attention_grouped_pallas(q, k_self, v_self, segments,
     if seq_major:
         return out[:, :, :s].reshape(g, b, s, h, d)
     return out[:, :, :, :s]
+
+
+# ---------------------------------------------------------------------------
+# Trainable wrapper: kernel forward, XLA-math backward
+# ---------------------------------------------------------------------------
+#
+# The kernel has no autodiff rule; training differentiates the trunk. This
+# custom_vjp runs the Pallas kernel in BOTH forward passes (primal and the
+# remat recompute) and computes gradients by jax.vjp over the equivalent XLA
+# einsum-softmax math — logits materialize in HBM only during the backward.
+# Masks enter as fp32 additive biases so every primal is float (bool primals
+# would need float0 cotangents).
+
+import functools as _functools
+
+
+def _xla_joint_attention_hm(q, k_self, v_self, flat_segments):
+    """Reference math for the kernel, head-major (G, B, H, S, D); biases are
+    fp32 additive (0 / -1e30). Must mirror the kernel exactly up to fp
+    rounding (exp2 vs exp is a rounding-level difference)."""
+    g, b, h, s, d = q.shape
+    scale = 1.0 / jnp.sqrt(jnp.float32(d))
+    ls = jnp.einsum("gbhsd,gbhtd->gbhst", q, k_self,
+                    preferred_element_type=jnp.float32) * scale
+    logits = [ls]
+    nseg = len(flat_segments) // 4
+    for i in range(nseg):
+        k, v, bias, s_kv = flat_segments[4 * i: 4 * i + 4]
+        l = jnp.einsum("gbhsd,bhtd->gbhst", q, k,
+                       preferred_element_type=jnp.float32) * scale
+        l = l * s_kv + bias[:, :, None, None, :]
+        logits.append(l)
+    w = jax.nn.softmax(jnp.concatenate(logits, axis=-1), axis=-1
+                       ).astype(v_self.dtype)
+    out = jnp.einsum("gbhst,gbhtd->gbhsd", w[..., :s], v_self,
+                     preferred_element_type=jnp.float32)
+    off = s
+    for i in range(nseg):
+        k, v, bias, s_kv = flat_segments[4 * i: 4 * i + 4]
+        t = k.shape[2]
+        o = jnp.einsum("gbhst,bhtd->gbhsd", w[..., off:off + t], v,
+                       preferred_element_type=jnp.float32)
+        out = out + o * s_kv
+        off += t
+    return out.astype(v_self.dtype)
+
+
+@_functools.lru_cache(maxsize=8)
+def _make_trainable_attention(nseg: int, interpret: bool):
+    @jax.custom_vjp
+    def attn(q, k_self, v_self, *flat):
+        segments = [(flat[4 * i], flat[4 * i + 1], flat[4 * i + 2],
+                     flat[4 * i + 3]) for i in range(nseg)]
+        return joint_attention_grouped_pallas(q, k_self, v_self, segments,
+                                              interpret=interpret, layout="hm")
+
+    def fwd(q, k_self, v_self, *flat):
+        return attn(q, k_self, v_self, *flat), (q, k_self, v_self, flat)
+
+    def bwd(res, g):
+        q, k_self, v_self, flat = res
+        _, vjp = jax.vjp(
+            lambda q_, ks_, vs_, *fl: _xla_joint_attention_hm(q_, ks_, vs_, fl),
+            q, k_self, v_self, *flat)
+        return vjp(g)
+
+    attn.defvjp(fwd, bwd)
+    return attn
+
+
+def joint_attention_grouped_trainable(q, k_self, v_self, segments,
+                                      interpret: bool = False):
+    """Differentiable entry: Pallas-kernel forward, XLA-math backward.
+    q/k_self/v_self head-major (G, B, H, S, D); segments as in
+    joint_attention_grouped_pallas (bool masks converted to biases here)."""
+    flat = []
+    for k, v, mask, s_kv in segments:
+        bias = jnp.where(mask, jnp.float32(0.0), jnp.float32(_NEG)) \
+            if mask.dtype == jnp.bool_ else mask.astype(jnp.float32)
+        s_arr = jnp.float32(1.0) if s_kv is None else jnp.asarray(s_kv, jnp.float32)
+        flat += [k, v, bias, s_arr]
+    return _make_trainable_attention(len(segments), interpret)(
+        q, k_self, v_self, *flat)

@@ -58,13 +58,22 @@ def compute_diffusion_loss(
 
     # remat the trunk: without it the scan's backward saves every layer's
     # intermediates and full-size finetuning runs out of HBM.
-    # Force the XLA attention path at trace time — the Pallas kernel has no
-    # autodiff rule (training differentiates the trunk; the dispatch default
-    # would pick the kernel on TPU and fail linearization).
+    # The plain Pallas kernel has no autodiff rule, so training picks a
+    # differentiable impl at trace time: on TPU the custom-VJP wrapper
+    # (kernel-speed forwards, XLA-math backward), elsewhere plain XLA.
     from echo_tts_tpu.models import dit as dit_mod
 
     prev_impl = dit_mod._ATTN_IMPL
-    dit_mod.set_attention_impl("xla")
+    if prev_impl == "auto":
+        on_tpu = jax.default_backend() not in ("cpu", "gpu")
+        train_impl = "pallas_vjp" if (on_tpu and cfg.head_dim % 128 == 0) else "xla"
+    elif prev_impl in ("pallas", "pallas_vjp"):
+        train_impl = "pallas_vjp"
+    elif prev_impl in ("pallas_interpret", "pallas_vjp_interpret"):
+        train_impl = "pallas_vjp_interpret"
+    else:
+        train_impl = "xla"
+    dit_mod.set_attention_impl(train_impl)
     try:
         v_pred = dit_forward(
             params, cfg, x_t.astype(model_dtype), t.astype(model_dtype),

@@ -159,3 +159,43 @@ def test_lora_checkpoint_roundtrip(tmp_path, setup):
     for tgt in lora:
         np.testing.assert_allclose(np.asarray(lora[tgt]["a"]),
                                    np.asarray(lora2[tgt]["a"]), atol=1e-7)
+
+
+def test_trainable_pallas_attention_grads_match_xla(setup):
+    """The custom-VJP attention (kernel fwd, XLA-math bwd) must produce the
+    same loss and gradients as the plain XLA path (interpret mode on CPU)."""
+    from echo_tts_tpu.models import dit as dit_mod
+
+    tm, params, batch_t = setup
+    batch = {k: jnp.asarray(v.numpy()) for k, v in batch_t.items()}
+    rng = jax.random.PRNGKey(3)
+    t = jnp.full((batch["latent"].shape[0],), 0.4, jnp.float32)
+    noise = jax.random.normal(jax.random.fold_in(rng, 1),
+                              batch["latent"].shape, jnp.float32)
+
+    def loss_fn(p):
+        return compute_diffusion_loss(
+            p, CFG, rng, batch["latent"], batch["latent_mask"],
+            batch["text_input_ids"], batch["text_mask"],
+            batch["speaker_latent"], batch["speaker_mask"],
+            model_dtype=jnp.float32, t=t, noise=noise)
+
+    dit_mod.set_attention_impl("xla")
+    try:
+        l_ref, g_ref = jax.value_and_grad(loss_fn)(params)
+    finally:
+        dit_mod.set_attention_impl("auto")
+
+    dit_mod.set_attention_impl("pallas_vjp_interpret")
+    try:
+        l_new, g_new = jax.value_and_grad(loss_fn)(params)
+    finally:
+        dit_mod.set_attention_impl("auto")
+
+    np.testing.assert_allclose(float(l_new), float(l_ref), atol=1e-5, rtol=1e-5)
+    leaves_ref = jax.tree_util.tree_leaves(g_ref)
+    leaves_new = jax.tree_util.tree_leaves(g_new)
+    assert len(leaves_ref) == len(leaves_new)
+    for a, b in zip(leaves_ref, leaves_new):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-4, rtol=1e-3)
