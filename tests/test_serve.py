@@ -156,3 +156,30 @@ def test_http_reconstruct(engine, tmp_path):
         assert resp.read()[:4] == b"RIFF"
     finally:
         httpd.shutdown()
+
+
+def test_http_concurrent_requests_serialize(engine):
+    """Two parallel /tts requests through the threading server: the engine
+    lock serializes device work (single-writer discipline, SURVEY.md §5.2);
+    both succeed and stats count both."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    httpd = serve(engine, port=0, background=True)
+    port = httpd.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    before = engine.health()["requests"]
+
+    def one(seed):
+        body = json.dumps({"text": f"Concurrent {seed}.", "seed": seed,
+                           "num_steps": 2, "sequence_length": 16}).encode()
+        req = urllib.request.Request(f"{base}/tts", data=body,
+                                     headers={"Content-Type": "application/json"})
+        return urllib.request.urlopen(req).read()[:4]
+
+    try:
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            outs = list(ex.map(one, [11, 12]))
+        assert outs == [b"RIFF", b"RIFF"]
+        assert engine.health()["requests"] == before + 2
+    finally:
+        httpd.shutdown()
