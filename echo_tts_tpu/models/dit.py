@@ -212,7 +212,8 @@ def _pick_attention_impl(d: int) -> str:
     return "pallas" if (on_tpu and d % 128 == 0) else "xla"
 
 
-def _joint_attention_grouped(q, k_self, v_self, segments, layout: str = "hm"):
+def _joint_attention_grouped(q, k_self, v_self, segments, layout: str = "hm",
+                             attn_impl: Optional[str] = None):
     """Segmented joint attention.
 
     q, k_self, v_self: (G, B, H, S, Dh) head-major (layout="hm") or
@@ -228,7 +229,7 @@ def _joint_attention_grouped(q, k_self, v_self, segments, layout: str = "hm"):
     Self keys are always visible (reference: model.py:249). fp32 softmax.
     Returns the same layout as q.
     """
-    impl = _pick_attention_impl(q.shape[-1])
+    impl = attn_impl or _pick_attention_impl(q.shape[-1])
     if impl in ("pallas_vjp", "pallas_vjp_interpret"):
         from echo_tts_tpu.ops.pallas_attention import (
             joint_attention_grouped_trainable,
@@ -276,7 +277,8 @@ def _joint_attention_grouped(q, k_self, v_self, segments, layout: str = "hm"):
         q = q.transpose(0, 1, 3, 2, 4)
         k_self = k_self.transpose(0, 1, 3, 2, 4)
         v_self = v_self.transpose(0, 1, 3, 2, 4)
-        out = _joint_attention_grouped(q, k_self, v_self, segments, "hm")
+        out = _joint_attention_grouped(q, k_self, v_self, segments, "hm",
+                                       attn_impl=attn_impl)
         return out.transpose(0, 1, 3, 2, 4)
     g, b, h, s, d = q.shape
     scale = 1.0 / jnp.sqrt(jnp.float32(d))
@@ -327,6 +329,8 @@ def _dit_forward_grouped(
     remat: bool = False,   # rematerialize the trunk body (training: without
     #   it the scan saves every layer's intermediates and full-size
     #   finetuning OOMs; ~1/3 extra fwd FLOPs in the bwd pass)
+    attn_impl: Optional[str] = None,  # explicit impl override (training picks
+    #   a differentiable one); None = module-level dispatch
 ) -> jnp.ndarray:
     """Core trunk (reference: model.py:563-604). Returns fp32 (G, B, S, D_lat)."""
     g, b, s, _ = x.shape
@@ -389,7 +393,8 @@ def _dit_forward_grouped(
         # the Pallas kernel reads the projections' natural seq-major
         # (G, B, S, H, Dh) layout directly (lane-aligned head blocks); only
         # the XLA einsum path wants head-major
-        seq_major = _pick_attention_impl(dh) in ("pallas", "pallas_interpret")
+        impl_here = attn_impl or _pick_attention_impl(dh)
+        seq_major = impl_here in ("pallas", "pallas_interpret")
         if not seq_major:
             q = q.transpose(0, 1, 3, 2, 4)
             k_self = k_self.transpose(0, 1, 3, 2, 4)
@@ -406,7 +411,8 @@ def _dit_forward_grouped(
                          branch_skips[1]))
 
         o = _joint_attention_grouped(q, k_self, v_self, segments,
-                                     layout="sm" if seq_major else "hm")
+                                     layout="sm" if seq_major else "hm",
+                                     attn_impl=attn_impl)
         if not seq_major:
             o = o.transpose(0, 1, 3, 2, 4)
         o = o.reshape(g, b, s, cfg.model_size)
@@ -433,7 +439,7 @@ def dit_forward(
     speaker_mask: jnp.ndarray,          # (B, S_spk_latents) bool (pre-stride)
     kv_text, kv_speaker,
     rope_q=None, kv_latent=None, latent_mask=None, speaker_kv_scale=None,
-    remat: bool = False,
+    remat: bool = False, attn_impl: Optional[str] = None,
 ) -> jnp.ndarray:
     """Single-branch forward (reference: model.py:563-604), fp32 output.
 
@@ -450,7 +456,7 @@ def dit_forward(
         kv_text, kv_speaker, rope_q,
         kv_latent if has_latent else None,
         latent_mask[None] if has_latent else None, speaker_kv_scale,
-        remat=remat)
+        remat=remat, attn_impl=attn_impl)
     return out[0]
 
 

@@ -200,7 +200,6 @@ def sample_pipeline_stream(
     from echo_tts_tpu.models import pca as pca_mod
     from echo_tts_tpu.models.s1dac import decode_zq_window
     from echo_tts_tpu.pipeline import flattening
-    from echo_tts_tpu.pipeline.speaker import ae_encode
     from echo_tts_tpu.sampling.blockwise import sample_blockwise_stream
 
     if not tts.dit_cfg.has_latent_modules:
@@ -222,10 +221,33 @@ def sample_pipeline_stream(
 
     cont_latent, cont_len = None, 0
     if continuation_audio is not None:
-        audio_in = jnp.asarray(continuation_audio, jnp.float32)[:, None, :]
-        cont_latent = ae_encode(tts.ae_params, tts.ae_cfg, tts.pca,
-                                audio_in.astype(ae_dtype))
-        cont_len = cont_latent.shape[1]
+        # chunked/bucketed encode (whole frames only — raw-length ae_encode
+        # would encode a partial last frame AND compile per unique length
+        # through the relay); crop to the valid length, then to a multiple of
+        # the latent patch size (the prefix is patchified by 4,
+        # reference inference_blockwise.py:186-188)
+        cont_latent_np, cont_mask_np = get_speaker_latent_and_mask(
+            tts.ae_params, tts.ae_cfg, tts.pca, np.asarray(continuation_audio),
+            max_speaker_latent_length=tts.pipe_cfg.max_speaker_latent_length,
+            audio_chunk_latents=tts.pipe_cfg.audio_chunk_latents,
+            pad_to_max=False)
+        n_valid = int(cont_mask_np.sum())
+        n_valid -= n_valid % tts.dit_cfg.speaker_patch_size
+        if n_valid == 0:
+            raise ValueError("continuation audio shorter than one latent patch")
+        cont_latent = jnp.asarray(cont_latent_np[:, :n_valid])
+        cont_len = n_valid
+        # the 640-latent context is the trained maximum: the continuation
+        # spends part of the budget (reference inference_blockwise.py:200
+        # requires cont + sum(blocks) < max)
+        budget = sc.sequence_length - cont_len
+        if budget < 1:
+            raise ValueError(
+                f"continuation occupies {cont_len} of the {sc.sequence_length}"
+                "-latent budget; nothing left to generate")
+        n_blocks = -(-budget // block_size)
+        block_sizes = [min(block_size, budget - i * block_size)
+                       for i in range(n_blocks)]  # noise slices follow below
 
     # same RNG contract as one-shot: noise for block i is the one-shot noise
     # tensor's rows [start_i, end_i) (blockwise-vs-oneshot consistency tests)

@@ -73,9 +73,12 @@ class Engine:
                         self.tts, text, speaker_audio, seed, sc=sc,
                         normalize_text=normalize_text)
                     wall = time.perf_counter() - t0
-                self.stats["requests"] += 1
-                self.stats["total_sample_s"] += wall
-                self.stats["total_audio_s"] += audio.shape[-1] / self.tts.ae_cfg.sample_rate
+                    # stats under the same lock: handler threads share the
+                    # dict and bare += is a read-modify-write race
+                    self.stats["requests"] += 1
+                    self.stats["total_sample_s"] += wall
+                    self.stats["total_audio_s"] += (
+                        audio.shape[-1] / self.tts.ae_cfg.sample_rate)
                 timings["total"] = wall
                 return audio, normalized, timings
             except Exception as e:  # pragma: no cover - device-failure path
@@ -123,6 +126,29 @@ class Engine:
                     self.stats["failures"] += 1
                 self.stats["total_sample_s"] += time.perf_counter() - t0
                 self.stats["total_audio_s"] += n_samples / self.tts.ae_cfg.sample_rate
+
+    def reconstruct(self, audio: np.ndarray) -> np.ndarray:
+        """AE round-trip audition of the first 30 s (reference:
+        gradio_app.py:390-403). Device work under the engine lock (same
+        single-writer discipline as generation), padded to the fixed 30-s
+        chunk so one executable serves every request length (the encoder is
+        causal, so cropping the padded output is exact)."""
+        import jax.numpy as jnp
+
+        from echo_tts_tpu.pipeline.speaker import ae_reconstruct
+
+        sr = self.tts.ae_cfg.sample_rate
+        spl = self.tts.ae_cfg.frame_length
+        chunk = self.tts.pipe_cfg.audio_chunk_latents * spl  # 30 s
+        audio = np.asarray(audio, np.float32)[:, :chunk]
+        n = audio.shape[-1]
+        n_frames = -(-n // spl)
+        padded = np.pad(audio, ((0, 0), (0, chunk - n)))
+        with self._lock:
+            rec = np.asarray(ae_reconstruct(
+                self.tts.ae_params, self.tts.ae_cfg, self.tts.pca,
+                jnp.asarray(padded)[:, None, :]), np.float32)
+        return rec[:, :, : n_frames * spl]
 
     def health(self) -> dict:
         return {"status": "ok", "lora": self._current_lora_path, **self.stats}

@@ -44,6 +44,20 @@ from echo_tts_tpu.serve.engine import Engine
 from echo_tts_tpu.serve.presets import DEFAULT_SAMPLER_PRESETS
 
 
+def _load_request_audio(req: dict, b64_key: str, path_key: str):
+    """Load audio supplied either as base64 WAV bytes or a server-side
+    path; None when neither key is present."""
+    if req.get(b64_key):
+        raw = base64.b64decode(req[b64_key])
+        with tempfile.NamedTemporaryFile(suffix=".wav") as f:
+            f.write(raw)
+            f.flush()
+            return load_audio(f.name)
+    if req.get(path_key):
+        return load_audio(req[path_key])
+    return None
+
+
 def _wav_bytes(audio: np.ndarray, sr: int) -> bytes:
     import os
 
@@ -99,31 +113,14 @@ def make_handler(engine: Engine, presets: Dict[str, SamplerConfig]):
                     return self._json(400, {"error": str(e)})
 
             if self.path == "/reconstruct":
-                # AE round-trip audition of the first 30 s (reference:
-                # gradio_app.py:390-403, inference.py:238-244)
+                # AE round-trip audition (reference: gradio_app.py:390-403);
+                # device work serialized inside engine.reconstruct
                 try:
-                    from echo_tts_tpu.pipeline.speaker import ae_reconstruct
-
-                    audio = None
-                    if req.get("wav_b64"):
-                        raw = base64.b64decode(req["wav_b64"])
-                        with tempfile.NamedTemporaryFile(suffix=".wav") as f:
-                            f.write(raw)
-                            f.flush()
-                            audio = load_audio(f.name)
-                    elif req.get("path"):
-                        audio = load_audio(req["path"])
+                    audio = _load_request_audio(req, "wav_b64", "path")
                     if audio is None:
                         return self._json(400, {"error": "wav_b64 or path required"})
-                    import jax.numpy as jnp
-
-                    sr = engine.tts.ae_cfg.sample_rate
-                    audio = audio[:, : 30 * sr]
-                    rec = np.asarray(ae_reconstruct(
-                        engine.tts.ae_params, engine.tts.ae_cfg,
-                        engine.tts.pca, jnp.asarray(audio)[:, None, :]),
-                        np.float32)
-                    wav = _wav_bytes(rec[0], sr)
+                    rec = engine.reconstruct(audio)
+                    wav = _wav_bytes(rec[0], engine.tts.ae_cfg.sample_rate)
                     self.send_response(200)
                     self.send_header("Content-Type", "audio/wav")
                     self.send_header("Content-Length", str(len(wav)))
@@ -148,18 +145,8 @@ def make_handler(engine: Engine, presets: Dict[str, SamplerConfig]):
                               if k in SamplerConfig.__dataclass_fields__}
                     sc = SamplerConfig.from_preset(fields) if fields else SamplerConfig()
 
-                def _load_req_audio(b64_key, path_key):
-                    if req.get(b64_key):
-                        raw = base64.b64decode(req[b64_key])
-                        with tempfile.NamedTemporaryFile(suffix=".wav") as f:
-                            f.write(raw)
-                            f.flush()
-                            return load_audio(f.name)
-                    if req.get(path_key):
-                        return load_audio(req[path_key])
-                    return None
-
-                speaker = _load_req_audio("speaker_wav_b64", "speaker_path")
+                speaker = _load_request_audio(req, "speaker_wav_b64",
+                                              "speaker_path")
 
                 if self.path == "/tts_stream":
                     # chunked raw PCM16: length unknown up front (early stop
@@ -169,8 +156,8 @@ def make_handler(engine: Engine, presets: Dict[str, SamplerConfig]):
                     # a clean JSON error; after headers the only safe failure
                     # mode is closing the connection (a second status line
                     # would corrupt the stream).
-                    continuation = _load_req_audio("continuation_wav_b64",
-                                                   "continuation_path")
+                    continuation = _load_request_audio(
+                        req, "continuation_wav_b64", "continuation_path")
                     gen = engine.generate_stream(
                         text, speaker, seed=seed, sc=sc,
                         block_size=int(req.get("block_size", 160)),

@@ -58,28 +58,26 @@ def compute_diffusion_loss(
 
     # remat the trunk: without it the scan's backward saves every layer's
     # intermediates and full-size finetuning runs out of HBM.
-    # The plain Pallas kernel has no autodiff rule, so training picks a
-    # differentiable impl at trace time: on TPU the custom-VJP wrapper
-    # (kernel-speed forwards, XLA-math backward), elsewhere plain XLA.
+    # The plain Pallas kernel has no autodiff rule, so training passes an
+    # explicit differentiable impl: on TPU the custom-VJP wrapper
+    # (kernel-speed forwards, XLA-math backward), elsewhere plain XLA. The
+    # configured impl is respected when it is already differentiable.
     from echo_tts_tpu.models import dit as dit_mod
 
-    prev_impl = dit_mod._ATTN_IMPL
-    if prev_impl == "auto":
+    configured = dit_mod._ATTN_IMPL
+    if configured == "auto":
         on_tpu = jax.default_backend() not in ("cpu", "gpu")
         train_impl = "pallas_vjp" if (on_tpu and cfg.head_dim % 128 == 0) else "xla"
-    elif prev_impl in ("pallas", "pallas_vjp"):
+    elif configured in ("pallas", "pallas_vjp"):
         train_impl = "pallas_vjp"
-    elif prev_impl in ("pallas_interpret", "pallas_vjp_interpret"):
+    elif configured in ("pallas_interpret", "pallas_vjp_interpret"):
         train_impl = "pallas_vjp_interpret"
     else:
         train_impl = "xla"
-    dit_mod.set_attention_impl(train_impl)
-    try:
-        v_pred = dit_forward(
-            params, cfg, x_t.astype(model_dtype), t.astype(model_dtype),
-            text_mask, speaker_mask, kv_text, kv_speaker, remat=True)
-    finally:
-        dit_mod._ATTN_IMPL = prev_impl
+    v_pred = dit_forward(
+        params, cfg, x_t.astype(model_dtype), t.astype(model_dtype),
+        text_mask, speaker_mask, kv_text, kv_speaker, remat=True,
+        attn_impl=train_impl)
 
     err = jnp.square(v_pred.astype(jnp.float32) - v_target)
     w = jnp.linspace(time_weight_range[0], time_weight_range[1], t_len)

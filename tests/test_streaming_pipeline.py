@@ -117,22 +117,30 @@ def test_stream_continuation(tiny_tts):  # noqa: F811
         normalize_text=True, stop_at_flattening=False,
         continuation_audio=cont_audio))
     streamed = np.concatenate(chunks, axis=-1)
-    assert streamed.shape[-1] == SC.sequence_length * spl  # new audio only
+    # the continuation spends its share of the sequence_length budget
+    # (reference inference_blockwise.py:200: cont + sum(blocks) < max),
+    # so only (sequence_length - cont_len) NEW frames are generated
+    cont_len = 8  # 8*spl samples -> 8 whole frames, already a patch multiple
+    budget = SC.sequence_length - cont_len
+    assert streamed.shape[-1] == budget * spl  # new audio only
 
-    # reference path: encode continuation, run non-streamed blockwise with
-    # the same per-block noises, full-decode, compare the generated region
-    from echo_tts_tpu.pipeline.speaker import ae_encode
+    # reference path: chunk-encode continuation the same way, run the
+    # non-streamed blockwise sampler, full-decode, compare generated region
+    from echo_tts_tpu.pipeline.speaker import get_speaker_latent_and_mask
 
     ids, text_mask, spk_lat, spk_mask = _prep(tts)
-    cont_lat = ae_encode(tts.ae_params, tts.ae_cfg, tts.pca,
-                         jnp.asarray(cont_audio)[:, None, :])
-    cont_len = cont_lat.shape[1]
+    cl, cm = get_speaker_latent_and_mask(
+        tts.ae_params, tts.ae_cfg, tts.pca, cont_audio,
+        max_speaker_latent_length=tts.pipe_cfg.max_speaker_latent_length,
+        audio_chunk_latents=tts.pipe_cfg.audio_chunk_latents, pad_to_max=False)
+    cont_lat = jnp.asarray(cl[:, :int(cm.sum()) - int(cm.sum()) % 4])
+    assert cont_lat.shape[1] == cont_len
     noise = draw_noise(4, (1, SC.sequence_length, tts.dit_cfg.latent_size))
     lat = sample_blockwise_euler_cfg_independent_guidances(
         tts.dit_params, tts.dit_cfg, SC,
         jnp.asarray(spk_lat), jnp.asarray(spk_mask),
         jnp.asarray(ids), jnp.asarray(text_mask),
-        (8, 8), noises=[noise[:, :8], noise[:, 8:]],
+        (budget,), noises=[noise[:, :budget]],
         continuation_latent=cont_lat, model_dtype=tts.model_dtype)
     full = np.asarray(ae_decode(tts.ae_params, tts.ae_cfg, tts.pca, lat))
     np.testing.assert_allclose(streamed, full[:, :, cont_len * spl:],
