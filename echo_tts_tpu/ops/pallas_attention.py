@@ -275,7 +275,7 @@ def _xla_joint_attention_hm(q, k_self, v_self, flat_segments):
 
 
 @_functools.lru_cache(maxsize=8)
-def _make_trainable_attention(nseg: int, interpret: bool):
+def _make_trainable_attention(nseg: int, interpret: bool, bwd_impl: str = "pallas"):
     @jax.custom_vjp
     def attn(q, k_self, v_self, *flat):
         segments = [(flat[4 * i], flat[4 * i + 1], flat[4 * i + 2],
@@ -286,14 +286,27 @@ def _make_trainable_attention(nseg: int, interpret: bool):
     def fwd(q, k_self, v_self, *flat):
         return attn(q, k_self, v_self, *flat), (q, k_self, v_self, flat)
 
-    def bwd(res, g):
+    def bwd_xla(res, g):
         q, k_self, v_self, flat = res
         _, vjp = jax.vjp(
             lambda q_, ks_, vs_, *fl: _xla_joint_attention_hm(q_, ks_, vs_, fl),
             q, k_self, v_self, *flat)
         return vjp(g)
 
-    attn.defvjp(fwd, bwd)
+    def bwd_pallas(res, g):
+        q, k_self, v_self, flat = res
+        dq, dks, dvs, dsegs = joint_attention_grouped_pallas_bwd(
+            q, k_self, v_self, list(flat), g, interpret=interpret)
+        grads = [dq, dks, dvs]
+        for i in range(nseg):
+            bias, s_kv = flat[4 * i + 2], flat[4 * i + 3]
+            # zero cotangents for biases/scales: mask- and config-derived,
+            # never parameters (see module comment above _bwd_kernel)
+            grads += [dsegs[2 * i], dsegs[2 * i + 1],
+                      jnp.zeros_like(bias), jnp.zeros_like(s_kv)]
+        return tuple(grads)
+
+    attn.defvjp(fwd, bwd_pallas if bwd_impl == "pallas" else bwd_xla)
     return attn
 
 
@@ -310,3 +323,171 @@ def joint_attention_grouped_trainable(q, k_self, v_self, segments,
         flat += [k, v, bias, s_arr]
     return _make_trainable_attention(len(segments), interpret)(
         q, k_self, v_self, *flat)
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel
+# ---------------------------------------------------------------------------
+#
+# Grads of the segmented joint attention, entirely in VMEM: one program per
+# (batch, head) recomputes logits/softmax over the FULL query extent and the
+# CFG group loop, so every output (dq, dk_self/dv_self per group, dk/dv per
+# segment accumulated over groups and rows) is written exactly once — no
+# cross-program accumulation. The XLA-math VJP this replaces materializes the
+# (G,B,H,S,T) logits in HBM twice per layer (its own fwd + bwd).
+#
+# Cotangents for the additive mask biases and the scalar KV scales are
+# returned as zeros: they derive from boolean masks / config constants, never
+# from parameters (asserted by the grad-equivalence test, which checks
+# gradients wrt every model parameter against the XLA path).
+
+
+def _bwd_kernel(*refs, scale: float, s_real: int, nseg: int, g_total: int):
+    q_ref, ks_ref, vs_ref, do_ref = refs[0], refs[1], refs[2], refs[3]
+    seg_refs = refs[4:4 + 4 * nseg]
+    dq_ref, dks_ref, dvs_ref = refs[4 + 4 * nseg: 7 + 4 * nseg]
+    dseg_refs = refs[7 + 4 * nseg:]
+
+    seg_acc = [None] * (2 * nseg)  # fp32 dk/dv accumulators across groups
+    for g in range(g_total):
+        q = q_ref[g, 0, 0]        # (S, D)
+        ks = ks_ref[g, 0, 0]
+        vs = vs_ref[g, 0, 0]
+        do = do_ref[g, 0, 0].astype(jnp.float32)
+
+        l_self = jax.lax.dot_general(q, ks, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32) * scale
+        s_pad = ks.shape[0]
+        if s_pad != s_real:
+            col = jax.lax.broadcasted_iota(jnp.int32, l_self.shape, 1)
+            pad_bias = jnp.maximum(jnp.minimum(
+                (s_real - 1 - col).astype(jnp.float32), 0.0), -1.0) * (-_NEG)
+            l_self = l_self + pad_bias
+
+        logits = [l_self]
+        scales = []
+        for i in range(nseg):
+            k_ref, v_ref, m_ref, s_ref = seg_refs[4 * i: 4 * i + 4]
+            k = k_ref[0, 0]
+            s_kv = s_ref[0]
+            scales.append(s_kv)
+            l = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32) * scale
+            l = l * s_kv + m_ref[g, 0, 0][None, :]
+            logits.append(l)
+
+        m_row = logits[0].max(axis=-1, keepdims=True)
+        for l in logits[1:]:
+            m_row = jnp.maximum(m_row, l.max(axis=-1, keepdims=True))
+        exps = [jnp.exp(l - m_row) for l in logits]
+        denom = exps[0].sum(axis=-1, keepdims=True)
+        for e in exps[1:]:
+            denom = denom + e.sum(axis=-1, keepdims=True)
+        inv = 1.0 / denom
+        ps = [e * inv for e in exps]  # fp32 softmax weights per segment
+
+        # dp per segment (value-contribution scale folds into dp)
+        dps = [jax.lax.dot_general(do, vs.astype(jnp.float32),
+                                   (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)]
+        for i in range(nseg):
+            v = seg_refs[4 * i + 1][0, 0]
+            dp = jax.lax.dot_general(do, v.astype(jnp.float32),
+                                     (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            dps.append(dp * scales[i])
+
+        r = (dps[0] * ps[0]).sum(axis=-1, keepdims=True)
+        for dp, p in zip(dps[1:], ps[1:]):
+            r = r + (dp * p).sum(axis=-1, keepdims=True)
+        dls = [p * (dp - r) for p, dp in zip(ps, dps)]  # d logits (original l)
+
+        in_dt = q.dtype
+        dq = jax.lax.dot_general(dls[0].astype(in_dt), ks,
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
+        for i in range(nseg):
+            k = seg_refs[4 * i][0, 0]
+            contrib = jax.lax.dot_general(dls[i + 1].astype(in_dt), k,
+                                          (((1,), (0,)), ((), ())),
+                                          preferred_element_type=jnp.float32)
+            dq = dq + contrib * (scale * scales[i])
+        dq_ref[g, 0, 0] = dq.astype(dq_ref.dtype)
+
+        dks = jax.lax.dot_general(dls[0].astype(in_dt), q,
+                                  (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32) * scale
+        dks_ref[g, 0, 0] = dks.astype(dks_ref.dtype)
+        dvs = jax.lax.dot_general(ps[0].astype(in_dt), do.astype(in_dt),
+                                  (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        dvs_ref[g, 0, 0] = dvs.astype(dvs_ref.dtype)
+
+        for i in range(nseg):
+            dk = jax.lax.dot_general(dls[i + 1].astype(in_dt), q,
+                                     (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32) \
+                * (scale * scales[i])
+            dv = jax.lax.dot_general(ps[i + 1].astype(in_dt), do.astype(in_dt),
+                                     (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32) \
+                * scales[i]
+            seg_acc[2 * i] = dk if seg_acc[2 * i] is None else seg_acc[2 * i] + dk
+            seg_acc[2 * i + 1] = (dv if seg_acc[2 * i + 1] is None
+                                  else seg_acc[2 * i + 1] + dv)
+
+    for i in range(nseg):
+        dseg_refs[2 * i][0, 0] = seg_acc[2 * i].astype(dseg_refs[2 * i].dtype)
+        dseg_refs[2 * i + 1][0, 0] = seg_acc[2 * i + 1].astype(
+            dseg_refs[2 * i + 1].dtype)
+
+
+def joint_attention_grouped_pallas_bwd(q, k_self, v_self, flat_segments, do,
+                                       interpret: bool = False):
+    """Backward pass (head-major). flat_segments: [k, v, bias(G,B,T) fp32,
+    scale scalar]*nseg. Returns (dq, dk_self, dv_self, [dk_i, dv_i]*nseg)."""
+    g, b, h, s, d = q.shape
+    nseg = len(flat_segments) // 4
+    scale = 1.0 / (d ** 0.5)
+
+    qt = _pad_to(q, 3, 8)
+    kst = _pad_to(k_self, 3, 8)
+    vst = _pad_to(v_self, 3, 8)
+    dot_ = _pad_to(do, 3, 8)
+    s_pad = qt.shape[3]
+
+    grid = (b, h)
+    gbh_spec = pl.BlockSpec((g, 1, 1, s_pad, d), lambda bb, hh: (0, bb, hh, 0, 0))
+    in_specs = [gbh_spec, gbh_spec, gbh_spec, gbh_spec]
+    args = [qt, kst, vst, dot_]
+    out_specs = [gbh_spec, gbh_spec, gbh_spec]
+    out_shapes = [jax.ShapeDtypeStruct((g, b, h, s_pad, d), q.dtype)] * 3
+    for i in range(nseg):
+        k, v, bias, s_kv = flat_segments[4 * i: 4 * i + 4]
+        t = k.shape[2]
+        in_specs += [
+            pl.BlockSpec((1, 1, t, d), lambda bb, hh: (bb, hh, 0, 0)),
+            pl.BlockSpec((1, 1, t, d), lambda bb, hh: (bb, hh, 0, 0)),
+            pl.BlockSpec((g, 1, 1, t), lambda bb, hh: (0, bb, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ]
+        args += [k, v, bias[:, :, None, :],
+                 jnp.asarray(s_kv, jnp.float32).reshape(1)]
+        out_specs += [
+            pl.BlockSpec((1, 1, t, d), lambda bb, hh: (bb, hh, 0, 0)),
+            pl.BlockSpec((1, 1, t, d), lambda bb, hh: (bb, hh, 0, 0)),
+        ]
+        out_shapes += [jax.ShapeDtypeStruct(k.shape, k.dtype),
+                       jax.ShapeDtypeStruct(v.shape, v.dtype)]
+
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=scale, s_real=s, nseg=nseg,
+                          g_total=g),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(*args)
+    dq, dks, dvs = outs[0][:, :, :, :s], outs[1][:, :, :, :s], outs[2][:, :, :, :s]
+    return dq, dks, dvs, list(outs[3:])
