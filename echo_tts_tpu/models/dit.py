@@ -192,8 +192,8 @@ def get_kv_cache_latent(params: dict, cfg: DiTConfig, prefix_latent):
 #   "xla"              — einsum softmax (reference semantics, autodiff-friendly)
 #   "pallas"           — force the Pallas kernel (compiled)
 #   "pallas_interpret" — Pallas in interpreter mode (CPU kernel tests)
-#   "pallas_vjp"       — kernel forward + XLA-math custom VJP (training on
-#                        TPU: kernel-speed forwards inside the remat'd trunk)
+#   "pallas_vjp"       — differentiable: Pallas kernels in both directions
+#                        (training on TPU; custom VJP)
 #   "pallas_vjp_interpret" — same, interpreter mode (CPU tests)
 _ATTN_IMPL = "auto"
 

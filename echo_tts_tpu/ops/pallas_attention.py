@@ -235,10 +235,11 @@ def joint_attention_grouped_pallas(q, k_self, v_self, segments,
 #
 # The kernel has no autodiff rule; training differentiates the trunk. This
 # custom_vjp runs the Pallas kernel in BOTH forward passes (primal and the
-# remat recompute) and computes gradients by jax.vjp over the equivalent XLA
-# einsum-softmax math — logits materialize in HBM only during the backward.
-# Masks enter as fp32 additive biases so every primal is float (bool primals
-# would need float0 cotangents).
+# remat recompute) and the Pallas backward kernel (below) for gradients —
+# logits never materialize in HBM. _xla_joint_attention_hm remains as the
+# reference math the tests check both directions against. Masks enter as
+# fp32 additive biases so every primal is float (bool primals would need
+# float0 cotangents).
 
 import functools as _functools
 
@@ -275,7 +276,7 @@ def _xla_joint_attention_hm(q, k_self, v_self, flat_segments):
 
 
 @_functools.lru_cache(maxsize=8)
-def _make_trainable_attention(nseg: int, interpret: bool, bwd_impl: str = "pallas"):
+def _make_trainable_attention(nseg: int, interpret: bool):
     @jax.custom_vjp
     def attn(q, k_self, v_self, *flat):
         segments = [(flat[4 * i], flat[4 * i + 1], flat[4 * i + 2],
@@ -285,13 +286,6 @@ def _make_trainable_attention(nseg: int, interpret: bool, bwd_impl: str = "palla
 
     def fwd(q, k_self, v_self, *flat):
         return attn(q, k_self, v_self, *flat), (q, k_self, v_self, flat)
-
-    def bwd_xla(res, g):
-        q, k_self, v_self, flat = res
-        _, vjp = jax.vjp(
-            lambda q_, ks_, vs_, *fl: _xla_joint_attention_hm(q_, ks_, vs_, fl),
-            q, k_self, v_self, *flat)
-        return vjp(g)
 
     def bwd_pallas(res, g):
         q, k_self, v_self, flat = res
@@ -306,13 +300,13 @@ def _make_trainable_attention(nseg: int, interpret: bool, bwd_impl: str = "palla
                       jnp.zeros_like(bias), jnp.zeros_like(s_kv)]
         return tuple(grads)
 
-    attn.defvjp(fwd, bwd_pallas if bwd_impl == "pallas" else bwd_xla)
+    attn.defvjp(fwd, bwd_pallas)
     return attn
 
 
 def joint_attention_grouped_trainable(q, k_self, v_self, segments,
                                       interpret: bool = False):
-    """Differentiable entry: Pallas-kernel forward, XLA-math backward.
+    """Differentiable entry: Pallas kernels in both directions.
     q/k_self/v_self head-major (G, B, H, S, D); segments as in
     joint_attention_grouped_pallas (bool masks converted to biases here)."""
     flat = []
@@ -338,8 +332,8 @@ def joint_attention_grouped_trainable(q, k_self, v_self, segments,
 #
 # Cotangents for the additive mask biases and the scalar KV scales are
 # returned as zeros: they derive from boolean masks / config constants, never
-# from parameters (asserted by the grad-equivalence test, which checks
-# gradients wrt every model parameter against the XLA path).
+# from parameters (the grad tests check all parameter gradients plus the
+# direct bwd-vs-XLA-vjp comparison over G>1 / scaled-KV shapes).
 
 
 def _bwd_kernel(*refs, scale: float, s_real: int, nseg: int, g_total: int):

@@ -59,9 +59,9 @@ def compute_diffusion_loss(
     # remat the trunk: without it the scan's backward saves every layer's
     # intermediates and full-size finetuning runs out of HBM.
     # The plain Pallas kernel has no autodiff rule, so training passes an
-    # explicit differentiable impl: on TPU the custom-VJP wrapper
-    # (kernel-speed forwards, XLA-math backward), elsewhere plain XLA. The
-    # configured impl is respected when it is already differentiable.
+    # explicit differentiable impl: on TPU the custom-VJP wrapper (Pallas
+    # forward AND backward kernels), elsewhere plain XLA. The configured
+    # impl is respected when it is already differentiable.
     from echo_tts_tpu.models import dit as dit_mod
 
     configured = dit_mod._ATTN_IMPL

@@ -97,3 +97,58 @@ def test_pallas_fully_masked_ctx():
     assert np.isfinite(np.asarray(out)).all()
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-5, rtol=1e-4)
+
+
+def test_bwd_kernel_grads_group_and_scale():
+    """Direct bwd-kernel vs jax.vjp(XLA math) over the paths the training
+    test cannot reach: G=3 cross-group dk/dv accumulation and a non-unit
+    use-site KV scale (interpret mode)."""
+    import jax
+
+    from echo_tts_tpu.ops.pallas_attention import (
+        _xla_joint_attention_hm,
+        joint_attention_grouped_pallas_bwd,
+    )
+
+    G, B, H, S, D, T1, T2 = 3, 2, 2, 16, 32, 12, 20
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 8)
+    q = jax.random.normal(ks[0], (G, B, H, S, D), jnp.float32)
+    k_self = jax.random.normal(ks[1], (G, B, H, S, D), jnp.float32)
+    v_self = jax.random.normal(ks[2], (G, B, H, S, D), jnp.float32)
+    k1 = jax.random.normal(ks[3], (B, H, T1, D), jnp.float32)
+    v1 = jax.random.normal(ks[4], (B, H, T1, D), jnp.float32)
+    k2 = jax.random.normal(ks[5], (B, H, T2, D), jnp.float32)
+    v2 = jax.random.normal(ks[6], (B, H, T2, D), jnp.float32)
+    m1 = jax.random.bernoulli(ks[7], 0.8, (G, B, T1))
+    b1 = jnp.where(m1, 0.0, -1e30).astype(jnp.float32)
+    b2 = jnp.zeros((G, B, T2), jnp.float32)
+    s1 = jnp.float32(1.0)
+    s2 = jnp.float32(1.5)  # non-unit use-site KV scale
+    flat = [k1, v1, b1, s1, k2, v2, b2, s2]
+    do = jax.random.normal(jax.random.fold_in(key, 9),
+                           (G, B, H, S, D), jnp.float32)
+
+    out, vjp = jax.vjp(
+        lambda q_, ks_, vs_, *fl: _xla_joint_attention_hm(q_, ks_, vs_, fl),
+        q, k_self, v_self, *flat)
+    ref = vjp(do)
+
+    dq, dks, dvs, dsegs = joint_attention_grouped_pallas_bwd(
+        q, k_self, v_self, flat, do, interpret=True)
+
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(ref[0]),
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(dks), np.asarray(ref[1]),
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(dvs), np.asarray(ref[2]),
+                               atol=2e-4, rtol=1e-3)
+    # segment k/v grads: ref[3:] interleaves (k, v, bias, scale) per segment
+    np.testing.assert_allclose(np.asarray(dsegs[0]), np.asarray(ref[3]),
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(dsegs[1]), np.asarray(ref[4]),
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(dsegs[2]), np.asarray(ref[7]),
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(dsegs[3]), np.asarray(ref[8]),
+                               atol=2e-4, rtol=1e-3)

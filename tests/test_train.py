@@ -162,7 +162,7 @@ def test_lora_checkpoint_roundtrip(tmp_path, setup):
 
 
 def test_trainable_pallas_attention_grads_match_xla(setup):
-    """The custom-VJP attention (kernel fwd, XLA-math bwd) must produce the
+    """The custom-VJP attention (Pallas fwd + bwd kernels) must produce the
     same loss and gradients as the plain XLA path (interpret mode on CPU)."""
     from echo_tts_tpu.models import dit as dit_mod
 
