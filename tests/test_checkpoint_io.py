@@ -146,3 +146,32 @@ def test_load_pytree_sharded_onto_mesh(tmp_path):
     assert len(wq.sharding.device_set) == 8
     np.testing.assert_array_equal(
         np.asarray(wq), np.asarray(params["blocks"]["attention"]["wq"]))
+
+
+def test_convert_checkpoint_cli(tmp_path):
+    """scripts/convert_checkpoint.py end-to-end: tiny torch safetensors ->
+    npz pytree, with config inference from checkpoint shapes."""
+    import os
+    import subprocess
+    import sys
+
+    from safetensors.torch import save_file
+
+    tm = build_torch_dit(DCFG, seed=2)
+    src = str(tmp_path / "dit.safetensors")
+    save_file({k: v.contiguous() for k, v in tm.state_dict().items()}, src)
+    dst = str(tmp_path / "dit.npz")
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "convert_checkpoint.py"),
+         "dit", src, dst, "--dtype", "f32", "--delete-blockwise"],
+        capture_output=True, text=True, env=env, timeout=900)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert os.path.exists(dst)
+
+    tree = load_pytree(dst)
+    assert "latent_encoder" not in tree
+    assert tree["blocks"]["attention"]["wq"].shape == (
+        DCFG.num_layers, DCFG.model_size, DCFG.model_size)
