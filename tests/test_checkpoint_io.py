@@ -144,6 +144,7 @@ def test_load_pytree_sharded_onto_mesh(tmp_path):
     # a TP-sharded leaf: trunk attention wq (L, D, D) splits its last axis
     wq = sharded["blocks"]["attention"]["wq"]
     assert len(wq.sharding.device_set) == 8
+    assert not wq.sharding.is_fully_replicated  # actually TP-split, not copied
     np.testing.assert_array_equal(
         np.asarray(wq), np.asarray(params["blocks"]["attention"]["wq"]))
 

@@ -32,6 +32,8 @@ ACFG = AEConfig().tiny()
     "(parenthetical start)",
     "plain text gets tagged",
     "has S1 marker inline",
+    "émoji 🎤 and ünïcode — multibyte UTF-8 bytes",
+    "x" * 200,  # exceeds the max_length cap -> truncation parity
 ])
 @pytest.mark.parametrize("normalize", [True, False])
 def test_tokenizer_parity(text, normalize):
