@@ -63,6 +63,7 @@ def main():
     if "--uncond-cache" in sys.argv:
         uncond_cache = int(sys.argv[sys.argv.index("--uncond-cache") + 1])
     joint_uncond = "--joint-uncond" in sys.argv
+    int8 = "--int8" in sys.argv  # opt-in W8A8 trunk (models/quant.py)
     dit_cfg = DiTConfig(has_latent_modules=blockwise)
     ae_cfg = AEConfig()
     sc = SamplerConfig(num_steps=STEPS, cfg_scale_text=3.0, cfg_scale_speaker=8.0,
@@ -81,6 +82,9 @@ def main():
     # single fused on-device init executable per model (host->device transfer
     # through the tunnel is slower than on-device RNG)
     dit_params = jax.jit(lambda k: init_dit_params(k, dit_cfg, dtype=jnp.bfloat16))(key)
+    if int8:
+        from echo_tts_tpu.models.quant import quantize_dit_params
+        dit_params = jax.jit(quantize_dit_params)(dit_params)
     ae_params = jax.jit(lambda k: init_ae_params(k, ae_cfg, dtype=jnp.bfloat16))(
         jax.random.fold_in(key, 1))
     jax.block_until_ready((dit_params, ae_params))
@@ -195,6 +199,8 @@ def main():
         mode += f", uncond-cache k={uncond_cache}"
     if joint_uncond:
         mode += ", joint-uncond"
+    if int8:
+        mode += ", int8 W8A8 trunk"
     if blockwise:
         mode += ", blockwise 4x160 streaming"
         print(f"# time-to-first-audio {min(ttfa)*1e3:.0f}ms "

@@ -34,6 +34,7 @@ from echo_tts_tpu.core.layers import (
     timestep_embedding,
 )
 from echo_tts_tpu.core.rope import apply_rope, apply_rope_half_heads, precompute_rope
+from echo_tts_tpu.models import quant
 from echo_tts_tpu.ops.attention import sdpa
 
 # ---------------------------------------------------------------------------
@@ -382,10 +383,13 @@ def _dit_forward_grouped(
 
         h = modulate_rms(x, per["a_shift"], per["a_scale"], eps)
         attn_gate = per["a_gate"]
-        q = (h @ a["wq"]).reshape(g, b, s, h_, dh)
-        k_self = (h @ a["wk"]).reshape(g, b, s, h_, dh)
-        v_self = (h @ a["wv"]).reshape(g, b, s, h_, dh)
-        gate = h @ a["gate"]
+        # proj_shared dispatches bf16 vs opt-in W8A8 int8 (models/quant.py):
+        # one activation quant shared by the four projections of h
+        q, k_self, v_self, gate = quant.proj_shared(
+            h, [a["wq"], a["wk"], a["wv"], a["gate"]])
+        q = q.reshape(g, b, s, h_, dh)
+        k_self = k_self.reshape(g, b, s, h_, dh)
+        v_self = v_self.reshape(g, b, s, h_, dh)
         q = rms_norm(q, a["q_norm"], eps)
         k_self = rms_norm(k_self, a["k_norm"], eps)
         q = apply_rope_half_heads(q, cos_q, sin_q)
@@ -417,10 +421,10 @@ def _dit_forward_grouped(
             o = o.transpose(0, 1, 3, 2, 4)
         o = o.reshape(g, b, s, cfg.model_size)
         o = o * jax.nn.sigmoid(gate)
-        x = x + attn_gate * (o @ a["wo"])
+        x = x + attn_gate * quant.mm(o, a["wo"])
 
         h = modulate_rms(x, per["m_shift"], per["m_scale"], eps)
-        x = x + per["m_gate"] * swiglu_mlp(h, p["mlp"])
+        x = x + per["m_gate"] * quant.swiglu_mlp_q(h, p["mlp"])
         return x, None
 
     x, _ = jax.lax.scan(jax.checkpoint(body) if remat else body, x, per)

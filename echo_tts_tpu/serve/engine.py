@@ -28,14 +28,29 @@ log = logging.getLogger("echo_tts_tpu.serve")
 
 
 class Engine:
-    def __init__(self, tts: EchoTTS, max_retries: int = 1):
+    def __init__(self, tts: EchoTTS, max_retries: int = 1, int8: bool = False):
+        """int8: opt-in W8A8 trunk quantization (models/quant.py) — applied
+        to the effective params after any LoRA merge; the bf16 base stays
+        resident for future merges. ~1.34x serving throughput (BASELINE.md)
+        at a measured small quality cost (scripts/quant_snr.py)."""
         self._base_params = tts.dit_params
+        self.int8 = int8
         self.tts = tts
+        self.tts.dit_params = self._effective(self._base_params)
         self.max_retries = max_retries
         self._lock = threading.Lock()
         self._current_lora_path: Optional[str] = None
         self.stats = {"requests": 0, "failures": 0, "retries": 0,
                       "total_sample_s": 0.0, "total_audio_s": 0.0}
+
+    def _effective(self, params):
+        if not self.int8:
+            return params
+        import jax
+
+        from echo_tts_tpu.models.quant import quantize_dit_params
+
+        return jax.jit(quantize_dit_params)(params)
 
     # -- LoRA hot-swap (reference: gradio_app.py:169-226) -------------------
     def set_lora(self, lora_path: Optional[str], strength: float = 1.0) -> None:
@@ -43,14 +58,15 @@ class Engine:
             if lora_path == self._current_lora_path:
                 return
             if lora_path is None:
-                self.tts.dit_params = self._base_params
+                self.tts.dit_params = self._effective(self._base_params)
             else:
                 lora, lc = load_lora_checkpoint(lora_path)
                 if strength != 1.0:
                     import dataclasses
 
                     lc = dataclasses.replace(lc, alpha=lc.alpha * strength)
-                self.tts.dit_params = merge_lora(self._base_params, lora, lc)
+                self.tts.dit_params = self._effective(
+                    merge_lora(self._base_params, lora, lc))
             self._current_lora_path = lora_path
 
     # -- generation ---------------------------------------------------------

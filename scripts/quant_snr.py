@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Full-scale quality check of the opt-in int8 W8A8 trunk (models/quant.py):
+run the exact 40-step dual-CFG sampler twice on the SAME noise/conditioning —
+bf16 trunk vs int8 trunk — and report latent relative error, latent SNR, and
+decoded-waveform relative error. Random-init weights (zero-egress env); the
+error statistics measure the quantization scheme itself, since FLOPs, shapes
+and activation statistics match the trained model.
+
+Run ad hoc on the TPU; prints one JSON line to stdout.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+from echo_tts_tpu.core.config import AEConfig, DiTConfig, SamplerConfig
+from echo_tts_tpu.bench.init_ae import init_ae_params
+from echo_tts_tpu.models import pca as pca_mod
+from echo_tts_tpu.models.dit import init_dit_params
+from echo_tts_tpu.models.pca import PCAState
+from echo_tts_tpu.models.quant import quantize_dit_params
+from echo_tts_tpu.models.s1dac import decode_zq
+from echo_tts_tpu.sampling.euler_cfg import (
+    draw_noise,
+    sample_euler_cfg_independent_guidances,
+)
+
+SEQ, TEXT, SPK = 640, 768, 6400
+
+
+def main():
+    cfg = DiTConfig(has_latent_modules=False)
+    ae_cfg = AEConfig()
+    sc = SamplerConfig(num_steps=40, cfg_scale_text=3.0, cfg_scale_speaker=8.0,
+                       cfg_min_t=0.5, cfg_max_t=1.0, truncation_factor=0.8,
+                       sequence_length=SEQ)
+    key = jax.random.PRNGKey(0)
+    params = jax.jit(lambda k: init_dit_params(k, cfg, dtype=jnp.bfloat16))(key)
+    qparams = jax.jit(quantize_dit_params)(params)
+    ae_params = jax.jit(lambda k: init_ae_params(k, AEConfig(), dtype=jnp.bfloat16))(
+        jax.random.fold_in(key, 1))
+    pca = PCAState.random()
+
+    ks = jax.random.split(key, 3)
+    ids = jax.random.randint(ks[0], (1, TEXT), 0, 256)
+    tmask = jnp.ones((1, TEXT), jnp.bool_)
+    spk = jax.random.normal(ks[1], (1, SPK, cfg.latent_size), jnp.float32)
+    smask = jnp.ones((1, SPK), jnp.bool_)
+    noise = draw_noise(0, (1, SEQ, cfg.latent_size))
+
+    def run(p):
+        lat = sample_euler_cfg_independent_guidances(
+            p, cfg, sc, spk, smask, ids, tmask, noise, model_dtype=jnp.bfloat16)
+        z_q = pca_mod.deproject(pca, lat)
+        audio = decode_zq(ae_params, ae_cfg, z_q.astype(jnp.bfloat16))
+        return np.asarray(lat), np.asarray(audio, dtype=np.float32)
+
+    t0 = time.time()
+    lat_ref, audio_ref = run(params)
+    lat_q, audio_q = run(qparams)
+    print(f"# two full samples + decode in {time.time()-t0:.1f}s", file=sys.stderr)
+
+    def rel(a, b):
+        return float(np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-12))
+
+    lat_rel = rel(lat_q, lat_ref)
+    snr_db = float(-20.0 * np.log10(lat_rel + 1e-12))
+    audio_rel = rel(audio_q, audio_ref)
+    print(json.dumps({
+        "metric": "int8 W8A8 trunk vs bf16, exact 40-step sampler, same noise",
+        "latent_rel_l2": round(lat_rel, 4),
+        "latent_snr_db": round(snr_db, 1),
+        "waveform_rel_l2": round(audio_rel, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -183,3 +183,35 @@ def test_http_concurrent_requests_serialize(engine):
         assert engine.health()["requests"] == before + 2
     finally:
         httpd.shutdown()
+
+
+def test_engine_int8_opt_in(tiny_tts, tmp_path):  # noqa: F811
+    """int8=True quantizes the trunk (models/quant.py) for serving and
+    re-quantizes after every LoRA swap; output stays finite and close to the
+    bf16 engine's."""
+    import dataclasses
+
+    from echo_tts_tpu.models.quant import is_quantized
+
+    _, _, tts = tiny_tts
+    ref_audio, _, _ = Engine(dataclasses.replace(tts)).generate(
+        "Quantized test.", None, seed=3, sc=SC)
+
+    eng = Engine(dataclasses.replace(tts), int8=True)
+    assert is_quantized(eng.tts.dit_params["blocks"]["attention"]["wq"])
+    audio, _, _ = eng.generate("Quantized test.", None, seed=3, sc=SC)
+    assert np.isfinite(audio).all()
+    rel = (np.linalg.norm(audio - ref_audio)
+           / (np.linalg.norm(ref_audio) + 1e-12))
+    assert rel < 0.2, rel  # tiny 2-step model; full-scale SNR: scripts/quant_snr.py
+
+    # LoRA swap keeps the effective params quantized, and reverting restores
+    # the quantized base
+    lc = LoRAConfig(rank=2)
+    lora = init_lora(jax.random.PRNGKey(0), eng._base_params, lc)
+    p = str(tmp_path / "l8.npz")
+    save_lora_checkpoint(p, lora, lc)
+    eng.set_lora(p)
+    assert is_quantized(eng.tts.dit_params["blocks"]["mlp"]["w1"])
+    eng.set_lora(None)
+    assert is_quantized(eng.tts.dit_params["blocks"]["attention"]["wo"])
