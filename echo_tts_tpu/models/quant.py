@@ -1,10 +1,10 @@
 """Opt-in W8A8 int8 quantization for the DiT trunk GEMMs.
 
-The v5e MXU runs int8 x int8 -> int32 at ~2x the bf16 rate (measured 212
+The v5e MXU runs int8 x int8 -> int32 at ~1.6x the measured bf16 rate (212
 TOP/s vs 132 TFLOP/s on trunk-shaped GEMM chains — BASELINE.md). The Euler
 hot loop is MXU-bound on the trunk's eight per-layer projections
 (wq/wk/wv/gate/wo and MLP w1/w3/w2 — reference model.py:341-390), so
-quantizing exactly those buys most of the 2x on the GEMM share of every step.
+quantizing exactly those buys most of that on the GEMM share of every step.
 
 Scheme — dynamic symmetric W8A8, no calibration data needed:
 
@@ -101,13 +101,13 @@ def mm(h: jnp.ndarray, w) -> jnp.ndarray:
     return h @ w
 
 
-def proj_shared(h: jnp.ndarray, ws: list, out_dtype=None):
+def proj_shared(h: jnp.ndarray, ws: list):
     """Several projections of the SAME activation (q/k/v/gate share h;
-    mlp w1/w3 share h): quantize h once, run one int8 dot per weight."""
-    out_dtype = out_dtype or h.dtype
+    mlp w1/w3 share h): quantize h once, run one int8 dot per weight.
+    Output dtype is h.dtype on both dispatch branches."""
     if is_quantized(ws[0]):
         q, s = quant_rows(h)
-        return [qdot(q, s, w, out_dtype) for w in ws]
+        return [qdot(q, s, w, h.dtype) for w in ws]
     return [h @ w for w in ws]
 
 

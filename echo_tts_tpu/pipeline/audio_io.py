@@ -91,10 +91,18 @@ def load_audio(path: str, max_duration: float = 300.0,
                target_sr: int = 44100) -> np.ndarray:
     """Decode, truncate to max_duration, mono-mix, resample to 44.1 kHz,
     peak-normalize only if peak > 1 (reference: inference.py:141-149).
-    Returns (1, samples) float32. WAV is decoded natively; other formats
-    route through ffmpeg when available."""
+    Returns (1, samples) float32. WAV is decoded natively, MP3 via the
+    system libmpg123 (native/mp3_py.py); other formats route through
+    ffmpeg when available."""
     if path.lower().endswith(".wav"):
         x, sr = read_wav(path)
+    elif path.lower().endswith(".mp3"):
+        from echo_tts_tpu.native.mp3_py import decode_mp3
+
+        decoded = decode_mp3(path, max_duration=max_duration)
+        if decoded is None:  # no libmpg123 — try ffmpeg
+            decoded = decode_with_ffmpeg(path, max_duration)
+        x, sr = decoded
     else:
         x, sr = decode_with_ffmpeg(path, max_duration)
     x = x[:, : int(max_duration * sr)]

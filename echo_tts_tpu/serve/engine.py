@@ -33,10 +33,15 @@ class Engine:
         to the effective params after any LoRA merge; the bf16 base stays
         resident for future merges. ~1.34x serving throughput (BASELINE.md)
         at a measured small quality cost (scripts/quant_snr.py)."""
+        import dataclasses
+
         self._base_params = tts.dit_params
         self.int8 = int8
-        self.tts = tts
-        self.tts.dit_params = self._effective(self._base_params)
+        # own copy of the container: quantization / LoRA swaps must never
+        # leak into the caller's EchoTTS (another Engine or a training path
+        # may hold the same instance)
+        self.tts = dataclasses.replace(
+            tts, dit_params=self._effective(self._base_params))
         self.max_retries = max_retries
         self._lock = threading.Lock()
         self._current_lora_path: Optional[str] = None

@@ -14,9 +14,12 @@ Endpoints:
   POST /reconstruct {"wav_b64": ... or "path": ...} -> audio/wav AE round-trip
        of the first 30 s (audition; reference gradio_app.py:390-403)
   POST /tts    {"text": ..., "preset": or sampler fields, "seed": int,
-                "speaker_wav_b64": base64 WAV bytes (optional),
-                "speaker_path": server-side path (optional)}
-       -> audio/wav bytes (reference wav-save path: gradio_app.py:376-408)
+                "speaker_wav_b64": base64 WAV or MP3 bytes (optional),
+                "speaker_path": server-side path (optional),
+                "format": "wav" (default) or "mp3"}
+       -> audio/wav bytes (reference wav-save path: gradio_app.py:376-408);
+       "mp3" encodes via libmp3lame and falls back to WAV when the library
+       is missing (reference mp3 path: gradio_app.py:111-127)
   POST /tts_stream  same body as /tts, plus "block_size" (default 160
        latents) and optional "continuation_wav_b64"/"continuation_path"
        (seed audio to continue from; its transcript must be included in
@@ -45,11 +48,13 @@ from echo_tts_tpu.serve.presets import DEFAULT_SAMPLER_PRESETS
 
 
 def _load_request_audio(req: dict, b64_key: str, path_key: str):
-    """Load audio supplied either as base64 WAV bytes or a server-side
-    path; None when neither key is present."""
+    """Load audio supplied either as base64 bytes (WAV or MP3, sniffed from
+    the magic bytes) or a server-side path; None when neither key is
+    present."""
     if req.get(b64_key):
         raw = base64.b64decode(req[b64_key])
-        with tempfile.NamedTemporaryFile(suffix=".wav") as f:
+        suffix = ".wav" if raw[:4] == b"RIFF" else ".mp3"
+        with tempfile.NamedTemporaryFile(suffix=suffix) as f:
             f.write(raw)
             f.flush()
             return load_audio(f.name)
@@ -67,6 +72,26 @@ def _wav_bytes(audio: np.ndarray, sr: int) -> bytes:
         write_wav(path, audio, sr)
         with open(path, "rb") as f:
             return f.read()
+    finally:
+        os.unlink(path)
+
+
+def _mp3_bytes(audio: np.ndarray, sr: int, bitrate_kbps: int = 192):
+    """MP3-encode via libmp3lame; None when unavailable (callers fall back
+    to WAV, mirroring reference gradio_app.py:111-127)."""
+    import os
+
+    from echo_tts_tpu.native.mp3_py import encode_mp3
+
+    with tempfile.NamedTemporaryFile(suffix=".mp3", delete=False) as f:
+        path = f.name
+    try:
+        if not encode_mp3(path, audio, sr, bitrate_kbps):
+            return None
+        with open(path, "rb") as f:
+            return f.read()
+    except Exception:
+        return None
     finally:
         os.unlink(path)
 
@@ -197,9 +222,21 @@ def make_handler(engine: Engine, presets: Dict[str, SamplerConfig]):
                 audio, normalized, timings = engine.generate(
                     text, speaker, seed=seed, sc=sc,
                     normalize_text=bool(req.get("normalize_text", True)))
-                wav = _wav_bytes(audio[0], engine.tts.ae_cfg.sample_rate)
+                sr = engine.tts.ae_cfg.sample_rate
+                ctype = "audio/wav"
+                if req.get("format") == "mp3":
+                    # mp3-save with WAV fallback (reference:
+                    # gradio_app.py:111-127)
+                    body = _mp3_bytes(audio[0], sr)
+                    if body is not None:
+                        ctype = "audio/mpeg"
+                    else:
+                        body = _wav_bytes(audio[0], sr)
+                else:
+                    body = _wav_bytes(audio[0], sr)
+                wav = body
                 self.send_response(200)
-                self.send_header("Content-Type", "audio/wav")
+                self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(wav)))
                 self.send_header("X-Normalized-Text",
                                  base64.b64encode(normalized.encode()).decode())

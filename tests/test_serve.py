@@ -77,6 +77,45 @@ def test_http_server_roundtrip(engine):
         httpd.shutdown()
 
 
+def test_http_tts_mp3_output_and_mp3_speaker(engine, tmp_path):
+    """format=mp3 response (libmp3lame; WAV fallback otherwise — reference
+    gradio_app.py:111-127) and an MP3 speaker prompt sniffed from base64
+    bytes (the reference's demo prompts are .mp3)."""
+    from echo_tts_tpu.native.mp3_py import (encode_mp3, mp3_available,
+                                            mp3_encode_available)
+
+    httpd = serve(engine, port=0, background=True)
+    port = httpd.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    try:
+        speaker_b64 = None
+        if mp3_encode_available():
+            n = engine.tts.ae_cfg.frame_length * 16
+            rng = np.random.default_rng(7)
+            p = str(tmp_path / "spk.mp3")
+            assert encode_mp3(p, (0.2 * rng.standard_normal(n)).astype(
+                np.float32)[None], engine.tts.ae_cfg.sample_rate)
+            with open(p, "rb") as f:
+                speaker_b64 = base64.b64encode(f.read()).decode()
+
+        payload = {"text": "MP3 test.", "seed": 5, "num_steps": 2,
+                   "sequence_length": 16, "format": "mp3"}
+        if speaker_b64:
+            payload["speaker_wav_b64"] = speaker_b64
+        req = urllib.request.Request(
+            f"{base}/tts", data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+        resp = urllib.request.urlopen(req)
+        body = resp.read()
+        if mp3_available() and mp3_encode_available():
+            assert resp.headers["Content-Type"] == "audio/mpeg"
+            assert body[:3] == b"ID3" or body[0:1] == b"\xff"
+        else:
+            assert body[:4] == b"RIFF"  # graceful fallback
+    finally:
+        httpd.shutdown()
+
+
 def test_http_preset_and_speaker_wav(engine, tmp_path):
     """Preset-by-name + base64 speaker-WAV conditioning through the HTTP API
     (reference serve surface: speaker upload + sampler presets)."""
