@@ -99,13 +99,6 @@ def main():
     speaker_mask = jnp.ones((batch, SPK), jnp.bool_)
     noise = draw_noise(0, (batch, SEQ, dit_cfg.latent_size))
 
-    from functools import partial
-
-    @partial(jax.jit, static_argnames=("cfg",))
-    def vocoder(ae_params, cfg, pca, latents):
-        z_q = pca_mod.deproject(pca, latents)
-        return decode_zq(ae_params, cfg, z_q.astype(jnp.bfloat16))
-
     import numpy as np
 
     def force(x):
@@ -152,20 +145,26 @@ def main():
         def decode(lat):  # decode already happened inside the stream
             return last_audio["a"]
     else:
-        def sample(noise_i):
-            return sample_euler_cfg_independent_guidances(
-                dit_params, dit_cfg, sc, speaker_latent, speaker_mask, ids,
-                text_mask, noise_i, model_dtype=jnp.bfloat16)
+        # fused sampler+vocoder: ONE executable per utterance (the serving
+        # path, pipeline._sample_and_decode) — no relay round-trip between
+        # sampling and decode
+        from echo_tts_tpu.pipeline.pipeline import _sample_and_decode
 
-        def decode(lat):
-            audio = vocoder(ae_params, ae_cfg, pca, lat)
-            force(audio)
-            return audio
+        def sample(noise_i):
+            lat, audio = _sample_and_decode(
+                dit_params, dit_cfg, sc, ae_params, ae_cfg, pca,
+                speaker_latent, speaker_mask, ids, text_mask, noise_i,
+                jnp.bfloat16)
+            return lat, audio
+
+        def decode(pair):
+            force(pair[1])
+            return pair[1]
 
     def run(noise_i):
-        lat = sample(noise_i)
-        audio = decode(lat)
-        return lat, audio
+        out = sample(noise_i)
+        audio = decode(out)
+        return out, audio
 
     t0 = time.time()
     lat, audio = run(noise)
@@ -178,11 +177,15 @@ def main():
     times, sample_t, voc_t = [], [], []
     for i in range(3):
         t0 = time.time()
-        lat = sample(noises[i])
-        force(lat)
-        t1 = time.time()
-        audio = decode(lat)
-        t2 = time.time()
+        out = sample(noises[i])
+        if blockwise:
+            force(out)
+            t1 = time.time()
+            audio = decode(out)
+            t2 = time.time()
+        else:
+            audio = decode(out)  # fused: one fence covers sample+vocoder
+            t1 = t2 = time.time()
         sample_t.append(t1 - t0)
         voc_t.append(t2 - t1)
         times.append(t2 - t0)
@@ -190,8 +193,13 @@ def main():
     wall = min(times)
     audio_seconds = batch * SEQ * ae_cfg.frame_length / ae_cfg.sample_rate
     value = audio_seconds / wall
-    print(f"# sample {min(sample_t)*1e3:.0f}ms ({min(sample_t)*1e3/STEPS:.1f}ms/step), "
-          f"vocoder {min(voc_t)*1e3:.0f}ms, audio {audio.shape}", file=sys.stderr)
+    if blockwise:
+        print(f"# sample {min(sample_t)*1e3:.0f}ms ({min(sample_t)*1e3/STEPS:.1f}ms/step), "
+              f"vocoder {min(voc_t)*1e3:.0f}ms, audio {audio.shape}", file=sys.stderr)
+    else:
+        print(f"# sample+vocoder fused {wall*1e3:.0f}ms "
+              f"({wall*1e3/STEPS:.1f}ms/step incl. decode), audio {audio.shape}",
+              file=sys.stderr)
     mode = ""
     if force_speaker:
         mode = ", force-speaker kv_scale=1.5"

@@ -35,6 +35,33 @@ from echo_tts_tpu.sampling.euler_cfg import (
 # (speaker_latent, speaker_mask, text_ids, text_mask, rng_seed) -> latents
 SampleFn = Callable[..., jnp.ndarray]
 
+from functools import partial as _partial
+
+from echo_tts_tpu.models import pca as _pca_mod
+from echo_tts_tpu.models import s1dac as _s1dac
+
+
+@_partial(jax.jit, static_argnames=("dit_cfg", "ae_cfg", "sc", "model_dtype"))
+def _sample_and_decode(dit_params, dit_cfg, sc, ae_params, ae_cfg, pca,
+                       speaker_latent, speaker_mask, ids, text_mask, noise,
+                       model_dtype):
+    """Sampler + PCA deproject + S1-DAC decode fused into ONE executable.
+
+    The device sits behind a dispatch boundary (~20 ms/call through the
+    remote-compile relay; a plain PCIe/gRPC hop elsewhere): running the
+    sampler and the vocoder as separate jits costs an extra round-trip per
+    utterance plus a host detour for the intermediate latents. Fusing them
+    also lets XLA overlap the vocoder's first conv stages with the tail of
+    the sampler's output projection. Returns (latents fp32, audio fp32) —
+    the latents still come back for the flattening-point crop."""
+    latents = sample_euler_cfg_independent_guidances(
+        dit_params, dit_cfg, sc, speaker_latent, speaker_mask, ids, text_mask,
+        noise, model_dtype=model_dtype)
+    z_q = _pca_mod.deproject(pca, latents)
+    ae_dtype = jax.tree_util.tree_leaves(ae_params)[0].dtype
+    audio = _s1dac.decode_zq(ae_params, ae_cfg, z_q.astype(ae_dtype))
+    return latents, audio.astype(jnp.float32)
+
 
 @dataclasses.dataclass
 class EchoTTS:
@@ -80,21 +107,26 @@ def sample_pipeline(
     if noise is None:
         noise = draw_noise(rng_seed, (1, sc.sequence_length, tts.dit_cfg.latent_size))
     if sample_fn is None:
-        latents = sample_euler_cfg_independent_guidances(
-            tts.dit_params, tts.dit_cfg, sc,
-            jnp.asarray(speaker_latent), jnp.asarray(speaker_mask),
-            jnp.asarray(ids), jnp.asarray(text_mask),
-            jnp.asarray(noise), model_dtype=tts.model_dtype)
+        # fused sampler+vocoder executable: one device dispatch per utterance
+        # (see _sample_and_decode); "vocoder" time is folded into "sample"
+        latents, audio = _sample_and_decode(
+            tts.dit_params, tts.dit_cfg, sc, tts.ae_params, tts.ae_cfg,
+            tts.pca, jnp.asarray(speaker_latent), jnp.asarray(speaker_mask),
+            jnp.asarray(ids), jnp.asarray(text_mask), jnp.asarray(noise),
+            tts.model_dtype)
+        audio = np.asarray(audio)
+        timings["sample"] = time.perf_counter() - t0
+        timings["vocoder"] = 0.0
     else:
         latents = sample_fn(jnp.asarray(speaker_latent), jnp.asarray(speaker_mask),
                             jnp.asarray(ids), jnp.asarray(text_mask), rng_seed)
-    latents.block_until_ready()
-    timings["sample"] = time.perf_counter() - t0
+        latents.block_until_ready()
+        timings["sample"] = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    audio = ae_decode(tts.ae_params, tts.ae_cfg, tts.pca, latents)
-    audio = np.asarray(audio)
-    timings["vocoder"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        audio = ae_decode(tts.ae_params, tts.ae_cfg, tts.pca, latents)
+        audio = np.asarray(audio)
+        timings["vocoder"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     audio = crop_audio_to_flattening_point(audio, np.asarray(latents[0]),
