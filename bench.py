@@ -109,11 +109,17 @@ def main():
     if blockwise:
         # interleaved streaming: sample block i, decode+emit it, sample i+1 —
         # the serving form (pipeline.sample_pipeline_stream); reports
-        # time-to-first-audio alongside throughput
+        # time-to-first-audio alongside throughput. --blocks 64,192 uses a
+        # small first block for TTFA (last entry repeats to fill 640).
         from echo_tts_tpu.models import pca as _pca_mod
         from echo_tts_tpu.models.s1dac import decode_zq_window
+        from echo_tts_tpu.pipeline.pipeline import _block_schedule
         from echo_tts_tpu.sampling.blockwise import sample_blockwise_stream
         blocks = (160, 160, 160, 160)
+        if "--blocks" in sys.argv:
+            spec = [int(x) for x in
+                    sys.argv[sys.argv.index("--blocks") + 1].split(",")]
+            blocks = tuple(_block_schedule(spec, SEQ))
         ttfa = []
 
         def _decode_window(prefix, start, bs):
@@ -210,9 +216,10 @@ def main():
     if int8:
         mode += ", int8 W8A8 trunk"
     if blockwise:
-        mode += ", blockwise 4x160 streaming"
+        mode += f", blockwise {'x'.join(str(b) for b in blocks)} streaming"
         print(f"# time-to-first-audio {min(ttfa)*1e3:.0f}ms "
-              f"(first 160-latent block = {160*ae_cfg.frame_length/ae_cfg.sample_rate:.1f}s audio)",
+              f"(first {blocks[0]}-latent block = "
+              f"{blocks[0]*ae_cfg.frame_length/ae_cfg.sample_rate:.1f}s audio)",
               file=sys.stderr)
     print(json.dumps({
         "metric": ("audio-seconds/s/chip, 40-step dual-CFG Euler @640 latents"

@@ -186,13 +186,36 @@ def _prepare_inputs(tts: EchoTTS, text_prompt: str,
     return ids, text_mask, normalized, speaker_latent, speaker_mask, timings
 
 
+def _block_schedule(block_size, budget: int) -> list:
+    """Expand a block spec into concrete sizes summing to `budget`.
+
+    An int is a uniform size; a sequence is used in order, repeating its LAST
+    entry until the budget fills (the final block truncates). A small first
+    block cuts time-to-first-audio roughly proportionally — the first block's
+    40-step Euler dominates TTFA — while later blocks stay large for
+    throughput (e.g. (64, 192) -> [64, 192, 192, 192] at budget 640)."""
+    if isinstance(block_size, (int, np.integer)):
+        sizes = [int(block_size)]
+    else:
+        sizes = [int(s) for s in block_size]
+    if not sizes or any(s < 1 for s in sizes):
+        raise ValueError(f"block sizes must be >= 1, got {block_size}")
+    out, i = [], 0
+    while budget > 0:
+        s = sizes[min(i, len(sizes) - 1)]
+        out.append(min(s, budget))
+        budget -= out[-1]
+        i += 1
+    return out
+
+
 def sample_pipeline_stream(
     tts: EchoTTS,
     text_prompt: str,
     speaker_audio: Optional[np.ndarray],
     rng_seed: int,
     sc: Optional[SamplerConfig] = None,
-    block_size: int = 160,
+    block_size=160,
     normalize_text: bool = False,
     stop_at_flattening: bool = True,
     decode_context_frames: Optional[int] = None,
@@ -238,15 +261,11 @@ def sample_pipeline_stream(
         raise ValueError(
             "streaming generation needs the blockwise (latent-prefix) modules;"
             " this checkpoint was converted with delete_blockwise_modules")
-    if block_size < 1:
-        raise ValueError(f"block_size must be >= 1, got {block_size}")
     sc = sc or SamplerConfig()
     ids, text_mask, _, speaker_latent, speaker_mask, _ = _prepare_inputs(
         tts, text_prompt, speaker_audio, normalize_text, None, None, True)
 
-    n_blocks = -(-sc.sequence_length // block_size)
-    block_sizes = [min(block_size, sc.sequence_length - i * block_size)
-                   for i in range(n_blocks)]
+    block_sizes = _block_schedule(block_size, sc.sequence_length)
     spl = tts.ae_cfg.frame_length
     window = 20  # detector window (reference: inference.py:315)
     ae_dtype = jax.tree_util.tree_leaves(tts.ae_params)[0].dtype
@@ -277,9 +296,7 @@ def sample_pipeline_stream(
             raise ValueError(
                 f"continuation occupies {cont_len} of the {sc.sequence_length}"
                 "-latent budget; nothing left to generate")
-        n_blocks = -(-budget // block_size)
-        block_sizes = [min(block_size, budget - i * block_size)
-                       for i in range(n_blocks)]  # noise slices follow below
+        block_sizes = _block_schedule(block_size, budget)  # noise slices follow
 
     # same RNG contract as one-shot: noise for block i is the one-shot noise
     # tensor's rows [start_i, end_i) (blockwise-vs-oneshot consistency tests)

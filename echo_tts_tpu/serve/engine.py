@@ -115,7 +115,8 @@ class Engine:
         speaker_audio: Optional[np.ndarray],
         seed: int = 0,
         sc: Optional[SamplerConfig] = None,
-        block_size: int = 160,
+        block_size=160,  # int, or a schedule like (64, 192) — small first
+        #   block cuts time-to-first-audio (pipeline._block_schedule)
         normalize_text: bool = True,
         continuation_audio: Optional[np.ndarray] = None,
     ):

@@ -21,7 +21,9 @@ Endpoints:
        "mp3" encodes via libmp3lame and falls back to WAV when the library
        is missing (reference mp3 path: gradio_app.py:111-127)
   POST /tts_stream  same body as /tts, plus "block_size" (default 160
-       latents) and optional "continuation_wav_b64"/"continuation_path"
+       latents; an int, or a list like [64, 192] whose last entry repeats —
+       a small first block cuts time-to-first-audio)
+       and optional "continuation_wav_b64"/"continuation_path"
        (seed audio to continue from; its transcript must be included in
        "text", reference inference_blockwise.py:189-190)
        -> chunked audio/L16 (raw mono PCM16, X-Sample-Rate header): one chunk
@@ -183,9 +185,11 @@ def make_handler(engine: Engine, presets: Dict[str, SamplerConfig]):
                     # would corrupt the stream).
                     continuation = _load_request_audio(
                         req, "continuation_wav_b64", "continuation_path")
+                    bs = req.get("block_size", 160)
+                    bs = [int(x) for x in bs] if isinstance(bs, list) else int(bs)
                     gen = engine.generate_stream(
                         text, speaker, seed=seed, sc=sc,
-                        block_size=int(req.get("block_size", 160)),
+                        block_size=bs,
                         normalize_text=bool(req.get("normalize_text", True)),
                         continuation_audio=continuation)
                     try:

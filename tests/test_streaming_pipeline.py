@@ -52,6 +52,47 @@ def test_stream_matches_blockwise_full_decode(tiny_tts):  # noqa: F811
     np.testing.assert_allclose(streamed, full, atol=2e-5, rtol=0)
 
 
+def test_block_schedule_expansion():
+    from echo_tts_tpu.pipeline.pipeline import _block_schedule
+
+    assert _block_schedule(160, 640) == [160, 160, 160, 160]
+    assert _block_schedule(160, 500) == [160, 160, 160, 20]
+    assert _block_schedule((64, 192), 640) == [64, 192, 192, 192]
+    assert _block_schedule([4, 8, 8], 16) == [4, 8, 4]
+    assert _block_schedule((8,), 4) == [4]
+    with pytest.raises(ValueError):
+        _block_schedule(0, 16)
+    with pytest.raises(ValueError):
+        _block_schedule((8, 0), 16)
+    with pytest.raises(ValueError):
+        _block_schedule([], 16)
+
+
+def test_stream_variable_schedule_matches_blockwise(tiny_tts):  # noqa: F811
+    """A (small-first-block) schedule through the streaming pipeline equals
+    the non-streamed blockwise sampler with the same schedule — TTFA tuning
+    must not change the audio."""
+    _, _, tts = tiny_tts
+    chunks = list(sample_pipeline_stream(
+        tts, TEXT, None, rng_seed=3, sc=SC, block_size=(4, 12),
+        normalize_text=True, stop_at_flattening=False))
+    assert len(chunks) == 2
+    streamed = np.concatenate(chunks, axis=-1)
+
+    ids, text_mask, spk_lat, spk_mask = _prep(tts)
+    noise = draw_noise(3, (1, SC.sequence_length, tts.dit_cfg.latent_size))
+    lat = sample_blockwise_euler_cfg_independent_guidances(
+        tts.dit_params, tts.dit_cfg, SC,
+        jnp.asarray(spk_lat), jnp.asarray(spk_mask),
+        jnp.asarray(ids), jnp.asarray(text_mask),
+        (4, 12), noises=[noise[:, :4], noise[:, 4:]],
+        model_dtype=tts.model_dtype)
+    full = np.asarray(ae_decode(tts.ae_params, tts.ae_cfg, tts.pca, lat))
+
+    assert streamed.shape == full.shape
+    np.testing.assert_allclose(streamed, full, atol=2e-5, rtol=0)
+
+
 def test_stream_early_stop_at_flattening(tiny_tts, monkeypatch):  # noqa: F811
     _, _, tts = tiny_tts
     from echo_tts_tpu.pipeline import flattening
