@@ -149,6 +149,37 @@ class Engine:
                 self.stats["total_sample_s"] += time.perf_counter() - t0
                 self.stats["total_audio_s"] += n_samples / self.tts.ae_cfg.sample_rate
 
+    def warmup(self, sc: Optional[SamplerConfig] = None,
+               include_speaker_buckets: bool = True) -> float:
+        """Pre-compile the serving executables for every shape bucket so no
+        user request pays a cold compile (the reference compiles lazily on
+        the first generation per bucket: gradio_app.py:263-274,315-345).
+
+        Runs one real (tiny-text) generation per bucket combination: the
+        no-speaker shape plus, when `include_speaker_buckets`, one synthetic
+        speaker prompt sized to land in each speaker bucket (this also warms
+        the chunked AE-encode executable). Uses the given SamplerConfig —
+        executables are specialized on it, so warm up with the preset you
+        will serve. Returns total warmup seconds."""
+        sc = sc or SamplerConfig()
+        pc = self.tts.pipe_cfg
+        sr = self.tts.ae_cfg.sample_rate
+        spl = self.tts.ae_cfg.frame_length
+        t0 = time.perf_counter()
+        prompts = [None]
+        if include_speaker_buckets:
+            rng = np.random.default_rng(0)
+            for b in pc.speaker_buckets:
+                n = min(b, pc.max_speaker_latent_length) * spl
+                prompts.append(0.1 * rng.standard_normal((1, n)).astype(np.float32))
+        for audio in prompts:
+            with self._lock:
+                sample_pipeline(self.tts, "Warmup.", audio, 0, sc=sc,
+                                normalize_text=True)
+        wall = time.perf_counter() - t0
+        log.info("warmup: %d bucket combos in %.1fs", len(prompts), wall)
+        return wall
+
     def reconstruct(self, audio: np.ndarray) -> np.ndarray:
         """AE round-trip audition of the first 30 s (reference:
         gradio_app.py:390-403). Device work under the engine lock (same

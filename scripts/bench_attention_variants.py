@@ -62,10 +62,15 @@ def timed_slope(name, make_run, *args, reps=3):
     return ms
 
 
-def _kernel_var(*refs, scale, nseg, mask_mode, use_exp2, hg=1, probe="full"):
+def _kernel_var(*refs, scale, nseg, mask_mode, use_exp2, hg=1, probe="full",
+                k_t=False):
     q_ref, ks_ref, vs_ref = refs[0], refs[1], refs[2]
     seg_refs = refs[3:3 + 3 * nseg]
     o_ref = refs[3 + 3 * nseg]
+
+    # k_t: keys arrive PRE-TRANSPOSED as (D, T) so the QK dot contracts
+    # q's lanes against k's sublanes with no in-kernel relayout
+    kdims = (((1,), (0,)), ((), ())) if k_t else (((1,), (1,)), ((), ()))
 
     eff_scale = scale * (1.4426950408889634 if use_exp2 else 1.0)
     for hj in range(hg):
@@ -73,13 +78,13 @@ def _kernel_var(*refs, scale, nseg, mask_mode, use_exp2, hg=1, probe="full"):
         ks = ks_ref[0, 0, hj]
         vs = vs_ref[0, 0, hj]
 
-        ls = jax.lax.dot_general(q, ks, (((1,), (1,)), ((), ())),
+        ls = jax.lax.dot_general(q, ks, kdims,
                                  preferred_element_type=jnp.float32) * eff_scale
         logits = [ls]
         for i in range(nseg):
             k_ref, v_ref, m_ref = seg_refs[3 * i: 3 * i + 3]
             k = k_ref[0, hj]
-            l = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+            l = jax.lax.dot_general(q, k, kdims,
                                     preferred_element_type=jnp.float32) * eff_scale
             m = m_ref[0, 0, 0]
             if mask_mode == "where":
@@ -136,22 +141,32 @@ def _kernel_var(*refs, scale, nseg, mask_mode, use_exp2, hg=1, probe="full"):
 
 
 def attention_var(q, k_self, v_self, segments, *, tq, mask_mode="where",
-                  use_exp2=False, hg=1, probe="full"):
+                  use_exp2=False, hg=1, probe="full", k_t=False):
     g, b, h, s, d = q.shape
     nseg = len(segments)
     scale = 1.0 / (d ** 0.5)
     n_qt = s // tq
     grid = (b, h // hg, n_qt, g)
+    if k_t:  # keys pre-transposed to (..., D, T) outside the kernel
+        k_self = k_self.swapaxes(-1, -2)
+        ks_spec = pl.BlockSpec((1, 1, hg, d, s), lambda bb, hh, qq, gg: (gg, bb, hh, 0, 0))
+    else:
+        ks_spec = pl.BlockSpec((1, 1, hg, s, d), lambda bb, hh, qq, gg: (gg, bb, hh, 0, 0))
     in_specs = [
         pl.BlockSpec((1, 1, hg, tq, d), lambda bb, hh, qq, gg: (gg, bb, hh, qq, 0)),
-        pl.BlockSpec((1, 1, hg, s, d), lambda bb, hh, qq, gg: (gg, bb, hh, 0, 0)),
+        ks_spec,
         pl.BlockSpec((1, 1, hg, s, d), lambda bb, hh, qq, gg: (gg, bb, hh, 0, 0)),
     ]
     args = [q, k_self, v_self]
     for k, v, mask in segments:
         t = k.shape[2]
+        if k_t:
+            k = k.swapaxes(-1, -2)
+            kseg_spec = pl.BlockSpec((1, hg, d, t), lambda bb, hh, qq, gg: (bb, hh, 0, 0))
+        else:
+            kseg_spec = pl.BlockSpec((1, hg, t, d), lambda bb, hh, qq, gg: (bb, hh, 0, 0))
         in_specs += [
-            pl.BlockSpec((1, hg, t, d), lambda bb, hh, qq, gg: (bb, hh, 0, 0)),
+            kseg_spec,
             pl.BlockSpec((1, hg, t, d), lambda bb, hh, qq, gg: (bb, hh, 0, 0)),
             pl.BlockSpec((1, 1, 1, t), lambda bb, hh, qq, gg: (gg, bb, 0, 0)),
         ]
@@ -165,7 +180,7 @@ def attention_var(q, k_self, v_self, segments, *, tq, mask_mode="where",
     return pl.pallas_call(
         functools.partial(_kernel_var, scale=scale, nseg=nseg,
                           mask_mode=mask_mode, use_exp2=use_exp2, hg=hg,
-                          probe=probe),
+                          probe=probe, k_t=k_t),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, hg, tq, d),
@@ -230,6 +245,13 @@ def main():
     bench("2seg tq=320 bias DOTS-only", lambda q, k, v, s:
           attention_var(q, k, v, s, tq=320, mask_mode="bias",
                         probe="dots"), segs2)
+    bench("2seg tq=320 bias kT", lambda q, k, v, s:
+          attention_var(q, k, v, s, tq=320, mask_mode="bias", k_t=True), segs2)
+    bench("2seg tq=320 bias kT DOTS-only", lambda q, k, v, s:
+          attention_var(q, k, v, s, tq=320, mask_mode="bias", k_t=True,
+                        probe="dots"), segs2)
+    bench("2seg tq=640 bias kT", lambda q, k, v, s:
+          attention_var(q, k, v, s, tq=640, mask_mode="bias", k_t=True), segs2)
     bench("2seg tq=320 bias NO-AV", lambda q, k, v, s:
           attention_var(q, k, v, s, tq=320, mask_mode="bias",
                         probe="noav"), segs2)
@@ -238,12 +260,6 @@ def main():
                         use_exp2=True), segs2)
     bench("2seg tq=640 bias", lambda q, k, v, s:
           attention_var(q, k, v, s, tq=640, mask_mode="bias"), segs2)
-    bench("2seg tq=320 bias hg=2", lambda q, k, v, s:
-          attention_var(q, k, v, s, tq=320, mask_mode="bias", hg=2), segs2)
-    bench("2seg tq=128 bias hg=4", lambda q, k, v, s:
-          attention_var(q, k, v, s, tq=128, mask_mode="bias", hg=4), segs2)
-    bench("2seg tq=640 bias hg=2", lambda q, k, v, s:
-          attention_var(q, k, v, s, tq=640, mask_mode="bias", hg=2), segs2)
 
     print(json.dumps({k: round(v, 3) for k, v in res.items()}))
 

@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (this image pins a TPU plugin; "
                          "the env var alone is not honored)")
+    ap.add_argument("--warmup", action="store_true",
+                    help="pre-compile every shape-bucket executable before "
+                         "accepting requests (Engine.warmup)")
     ap.add_argument("--int8", action="store_true",
                     help="opt-in W8A8 int8 trunk (models/quant.py): ~1.34x "
                          "throughput at 46.9 dB latent SNR (BASELINE.md)")
@@ -73,6 +76,12 @@ def main():
                       PCAState.from_safetensors(args.pca))
 
     engine = Engine(tts, int8=args.int8)
+    if args.warmup:
+        from echo_tts_tpu.core.config import SamplerConfig as _SC
+
+        print("warming up shape buckets (compiles every serving executable)...")
+        wall = engine.warmup(_SC())
+        print(f"warmup done in {wall:.1f}s")
     presets = load_sampler_presets(args.presets) if os.path.exists(
         args.presets) or not args.random_tiny else None
 

@@ -54,6 +54,20 @@ def test_engine_lora_swap(engine, tmp_path):
     np.testing.assert_allclose(a_base, a_back, atol=1e-6)
 
 
+def test_engine_warmup_compiles_buckets(engine):
+    """warmup runs one generation per bucket combo (no-speaker + each
+    speaker bucket) without touching request stats semantics beyond the
+    runs themselves; subsequent generations hit warm executables."""
+    before = engine.health()["requests"]
+    wall = engine.warmup(SC)
+    assert wall > 0
+    # no-speaker + the tiny config's two speaker buckets
+    n_combos = 1 + len(engine.tts.pipe_cfg.speaker_buckets)
+    assert engine.health()["requests"] == before  # warmup bypasses stats
+    audio, _, _ = engine.generate("Post warmup.", None, seed=9, sc=SC)
+    assert np.isfinite(audio).all() and n_combos >= 2
+
+
 def test_http_server_roundtrip(engine):
     httpd = serve(engine, port=0, background=True)
     port = httpd.server_address[1]
