@@ -63,7 +63,8 @@ def main():
     if "--uncond-cache" in sys.argv:
         uncond_cache = int(sys.argv[sys.argv.index("--uncond-cache") + 1])
     joint_uncond = "--joint-uncond" in sys.argv
-    int8 = "--int8" in sys.argv  # opt-in W8A8 trunk (models/quant.py)
+    int8_enc = "--int8-encoders" in sys.argv  # + encoder/KV-proj GEMMs
+    int8 = "--int8" in sys.argv or int8_enc  # opt-in W8A8 trunk (models/quant.py)
     dit_cfg = DiTConfig(has_latent_modules=blockwise)
     ae_cfg = AEConfig()
     sc = SamplerConfig(num_steps=STEPS, cfg_scale_text=3.0, cfg_scale_speaker=8.0,
@@ -84,7 +85,8 @@ def main():
     dit_params = jax.jit(lambda k: init_dit_params(k, dit_cfg, dtype=jnp.bfloat16))(key)
     if int8:
         from echo_tts_tpu.models.quant import quantize_dit_params
-        dit_params = jax.jit(quantize_dit_params)(dit_params)
+        dit_params = jax.jit(
+            lambda p: quantize_dit_params(p, encoders=int8_enc))(dit_params)
     ae_params = jax.jit(lambda k: init_ae_params(k, ae_cfg, dtype=jnp.bfloat16))(
         jax.random.fold_in(key, 1))
     jax.block_until_ready((dit_params, ae_params))
@@ -214,7 +216,7 @@ def main():
     if joint_uncond:
         mode += ", joint-uncond"
     if int8:
-        mode += ", int8 W8A8 trunk"
+        mode += ", int8 W8A8 trunk" + ("+encoders" if int8_enc else "")
     if blockwise:
         mode += f", blockwise {'x'.join(str(b) for b in blocks)} streaming"
         print(f"# time-to-first-audio {min(ttfa)*1e3:.0f}ms "

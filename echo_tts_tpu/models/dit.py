@@ -30,7 +30,6 @@ from echo_tts_tpu.core.layers import (
     modulate_rms,
     precompute_adaln,
     rms_norm,
-    swiglu_mlp,
     timestep_embedding,
 )
 from echo_tts_tpu.core.rope import apply_rope, apply_rope_half_heads, precompute_rope
@@ -61,19 +60,21 @@ def encoder_forward(
     def body(x, p):
         a = p["attention"]
         h = rms_norm(x, p["attention_norm"], eps)
-        q = (h @ a["wq"]).reshape(b, s, num_heads, hd)
-        k = (h @ a["wk"]).reshape(b, s, num_heads, hd)
-        v = (h @ a["wv"]).reshape(b, s, num_heads, hd)
-        gate = h @ a["gate"]
+        # quant.proj_shared/mm dispatch bf16 vs opt-in W8A8 int8 leaves
+        # (models/quant.py quantize_dit_params(encoders=True))
+        q, k, v, gate = quant.proj_shared(h, [a["wq"], a["wk"], a["wv"], a["gate"]])
+        q = q.reshape(b, s, num_heads, hd)
+        k = k.reshape(b, s, num_heads, hd)
+        v = v.reshape(b, s, num_heads, hd)
         q = rms_norm(q, a["q_norm"], eps)
         k = rms_norm(k, a["k_norm"], eps)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         o = sdpa(q, k, v, mask=mask, is_causal=is_causal).reshape(b, s, d)
         o = o * jax.nn.sigmoid(gate)
-        x = x + o @ a["wo"]
+        x = x + quant.mm(o, a["wo"])
         h = rms_norm(x, p["mlp_norm"], eps)
-        x = x + swiglu_mlp(h, p["mlp"])
+        x = x + quant.swiglu_mlp_q(h, p["mlp"])
         return x, None
 
     x, _ = jax.lax.scan(body, x, blocks)
@@ -121,9 +122,10 @@ def _project_kv(blocks_attn: dict, state, wk_name: str, wv_name: str,
     b, s, _ = state.shape
 
     def proj(_, a):
-        hd = a[wk_name].shape[-1] // num_heads
-        k = (state @ a[wk_name]).reshape(b, s, num_heads, hd)
-        v = (state @ a[wv_name]).reshape(b, s, num_heads, hd)
+        hd = quant.out_dim(a[wk_name]) // num_heads
+        k, v = quant.proj_shared(state, [a[wk_name], a[wv_name]])
+        k = k.reshape(b, s, num_heads, hd)
+        v = v.reshape(b, s, num_heads, hd)
         k = rms_norm(k, a["k_norm"], eps)
         k = k.transpose(0, 2, 1, 3)
         v = v.transpose(0, 2, 1, 3)
@@ -164,8 +166,9 @@ def get_kv_cache_latent(params: dict, cfg: DiTConfig, prefix_latent):
     attn = params["blocks"]["attention"]
 
     def proj(_, a):
-        k = (state @ a["wk_latent"]).reshape(b, s, cfg.num_heads, cfg.head_dim)
-        v = (state @ a["wv_latent"]).reshape(b, s, cfg.num_heads, cfg.head_dim)
+        k, v = quant.proj_shared(state, [a["wk_latent"], a["wv_latent"]])
+        k = k.reshape(b, s, cfg.num_heads, cfg.head_dim)
+        v = v.reshape(b, s, cfg.num_heads, cfg.head_dim)
         k = rms_norm(k, a["k_norm"], cfg.norm_eps)
         k = apply_rope_half_heads(k, cos, sin)
         return None, (k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3))

@@ -43,6 +43,11 @@ def is_quantized(w) -> bool:
     return isinstance(w, dict) and "q" in w
 
 
+def out_dim(w) -> int:
+    """Last-axis (output) dimension of a plain or quantized weight leaf."""
+    return (w["q"] if is_quantized(w) else w).shape[-1]
+
+
 def quantize_weight(w: jnp.ndarray) -> dict:
     """(…, K, N) weight -> {"q": int8 (…, K, N), "s": fp32 (…, N)} with
     symmetric per-output-channel scales."""
@@ -52,15 +57,8 @@ def quantize_weight(w: jnp.ndarray) -> dict:
     return {"q": q, "s": jnp.squeeze(s, axis=-2)}
 
 
-def quantize_dit_params(params: dict) -> dict:
-    """Quantize the trunk GEMM weight stacks in a DiT params pytree.
-
-    Returns a new pytree (shallow copies along the touched path); the
-    original is unmodified. Halves trunk-weight HBM too (int8 vs bf16), on
-    top of the MXU-rate win.
-    """
-    params = dict(params)
-    blocks = dict(params["blocks"])
+def _quantize_blocks(blocks: dict) -> dict:
+    blocks = dict(blocks)
     attn = dict(blocks["attention"])
     mlp = dict(blocks["mlp"])
     for k in _ATTN_KEYS:
@@ -69,7 +67,37 @@ def quantize_dit_params(params: dict) -> dict:
         mlp[k] = quantize_weight(mlp[k])
     blocks["attention"] = attn
     blocks["mlp"] = mlp
-    params["blocks"] = blocks
+    return blocks
+
+
+def quantize_dit_params(params: dict, encoders: bool = False) -> dict:
+    """Quantize the trunk GEMM weight stacks in a DiT params pytree.
+
+    Returns a new pytree (shallow copies along the touched path); the
+    original is unmodified. Halves trunk-weight HBM too (int8 vs bf16), on
+    top of the MXU-rate win.
+
+    encoders=True additionally quantizes the text/speaker/latent encoder
+    block GEMMs and the per-layer context-KV projections (wk/wv_text,
+    wk/wv_speaker, wk/wv_latent). Encoders run ONCE per utterance, so their
+    quantization noise is frozen into the KV caches for all 40 steps rather
+    than averaged across them — check scripts/quant_snr.py --encoders before
+    enabling in quality-sensitive serving.
+    """
+    params = dict(params)
+    params["blocks"] = _quantize_blocks(params["blocks"])
+    if encoders:
+        attn = dict(params["blocks"]["attention"])
+        for k in ("wk_text", "wv_text", "wk_speaker", "wv_speaker",
+                  "wk_latent", "wv_latent"):
+            if k in attn:
+                attn[k] = quantize_weight(attn[k])
+        params["blocks"] = {**params["blocks"], "attention": attn}
+        for enc in ("text_encoder", "speaker_encoder", "latent_encoder"):
+            if enc in params:
+                e = dict(params[enc])
+                e["blocks"] = _quantize_blocks(e["blocks"])
+                params[enc] = e
     return params
 
 

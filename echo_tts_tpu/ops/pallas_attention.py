@@ -153,8 +153,12 @@ def joint_attention_grouped_pallas(q, k_self, v_self, segments,
         s_axis = 3
     nseg = len(segments)
     scale = _LOG2E / (d ** 0.5)
-    # prefer 320-row q tiles (640 = 2x320); fall back to 128, then whole-S
-    if s % 320 == 0:
+    # q-tile: whole-S for the 640-query serving shape (measured 7% faster
+    # than 2x320 after the bias-mask change — scripts/bench_attention_variants
+    # 2026-08-20; the pre-bias numbers had tq=640 at parity), else 320/128
+    if s == 640:
+        tq = 640
+    elif s % 320 == 0:
         tq = 320
     elif s % 128 == 0:
         tq = 128

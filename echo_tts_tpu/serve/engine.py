@@ -28,15 +28,20 @@ log = logging.getLogger("echo_tts_tpu.serve")
 
 
 class Engine:
-    def __init__(self, tts: EchoTTS, max_retries: int = 1, int8: bool = False):
+    def __init__(self, tts: EchoTTS, max_retries: int = 1, int8: bool = False,
+                 int8_encoders: bool = False):
         """int8: opt-in W8A8 trunk quantization (models/quant.py) — applied
         to the effective params after any LoRA merge; the bf16 base stays
         resident for future merges. ~1.34x serving throughput (BASELINE.md)
-        at a measured small quality cost (scripts/quant_snr.py)."""
+        at a measured small quality cost (scripts/quant_snr.py).
+        int8_encoders additionally quantizes encoder/KV-projection GEMMs
+        (noise frozen into the per-utterance KV caches; check
+        quant_snr.py --encoders)."""
         import dataclasses
 
         self._base_params = tts.dit_params
-        self.int8 = int8
+        self.int8 = int8 or int8_encoders
+        self.int8_encoders = int8_encoders
         # own copy of the container: quantization / LoRA swaps must never
         # leak into the caller's EchoTTS (another Engine or a training path
         # may hold the same instance)
@@ -55,7 +60,8 @@ class Engine:
 
         from echo_tts_tpu.models.quant import quantize_dit_params
 
-        return jax.jit(quantize_dit_params)(params)
+        return jax.jit(lambda p: quantize_dit_params(
+            p, encoders=self.int8_encoders))(params)
 
     # -- LoRA hot-swap (reference: gradio_app.py:169-226) -------------------
     def set_lora(self, lora_path: Optional[str], strength: float = 1.0) -> None:

@@ -39,6 +39,7 @@ SEQ, TEXT, SPK = 640, 768, 6400
 
 
 def main():
+    encoders = "--encoders" in sys.argv  # also quantize encoder/KV-proj GEMMs
     cfg = DiTConfig(has_latent_modules=False)
     ae_cfg = AEConfig()
     sc = SamplerConfig(num_steps=40, cfg_scale_text=3.0, cfg_scale_speaker=8.0,
@@ -46,7 +47,7 @@ def main():
                        sequence_length=SEQ)
     key = jax.random.PRNGKey(0)
     params = jax.jit(lambda k: init_dit_params(k, cfg, dtype=jnp.bfloat16))(key)
-    qparams = jax.jit(quantize_dit_params)(params)
+    qparams = jax.jit(lambda p: quantize_dit_params(p, encoders=encoders))(params)
     ae_params = jax.jit(lambda k: init_ae_params(k, AEConfig(), dtype=jnp.bfloat16))(
         jax.random.fold_in(key, 1))
     pca = PCAState.random()
@@ -77,7 +78,8 @@ def main():
     snr_db = float(-20.0 * np.log10(lat_rel + 1e-12))
     audio_rel = rel(audio_q, audio_ref)
     print(json.dumps({
-        "metric": "int8 W8A8 trunk vs bf16, exact 40-step sampler, same noise",
+        "metric": ("int8 W8A8 trunk" + ("+encoders" if encoders else "")
+                   + " vs bf16, exact 40-step sampler, same noise"),
         "latent_rel_l2": round(lat_rel, 4),
         "latent_snr_db": round(snr_db, 1),
         "waveform_rel_l2": round(audio_rel, 4),

@@ -69,6 +69,43 @@ def test_quantize_dit_params_structure():
     assert not quant.is_quantized(params["blocks"]["attention"]["wq"])
 
 
+def test_quantize_dit_params_encoders_structure_and_kv_snr():
+    """encoders=True also quantizes encoder block GEMMs and KV projections;
+    the resulting KV caches must track the fp32 ones closely (this noise is
+    frozen into the caches for all sampler steps)."""
+    cfg = DiTConfig().tiny()
+    key = jax.random.PRNGKey(5)
+    params = init_dit_params(key, cfg, dtype=jnp.float32)
+    qp = quant.quantize_dit_params(params, encoders=True)
+    attn = qp["blocks"]["attention"]
+    for k in ("wk_text", "wv_text", "wk_speaker", "wv_speaker",
+              "wk_latent", "wv_latent"):
+        assert quant.is_quantized(attn[k]), k
+    enc_attn = qp["text_encoder"]["blocks"]["attention"]
+    assert quant.is_quantized(enc_attn["wq"])
+    assert quant.is_quantized(qp["speaker_encoder"]["blocks"]["mlp"]["w1"])
+    assert not quant.is_quantized(qp["text_encoder"]["embedding"])
+    assert not quant.is_quantized(qp["speaker_encoder"]["in_proj"]["w"])
+
+    b, txt, spk = 2, 12, 8
+    ks = jax.random.split(key, 3)
+    ids = jax.random.randint(ks[0], (b, txt), 0, cfg.text_vocab_size)
+    tmask = jnp.ones((b, txt), jnp.bool_)
+    spk_lat = jax.random.normal(ks[1], (b, spk, cfg.latent_size), jnp.float32)
+
+    for ref_kv, got_kv in [
+        (get_kv_cache_text(params, cfg, ids, tmask),
+         get_kv_cache_text(qp, cfg, ids, tmask)),
+        (get_kv_cache_speaker(params, cfg, spk_lat),
+         get_kv_cache_speaker(qp, cfg, spk_lat)),
+    ]:
+        for r, g in zip(ref_kv, got_kv):
+            r, g = np.asarray(r), np.asarray(g)
+            assert np.all(np.isfinite(g))
+            rel = np.linalg.norm(g - r) / (np.linalg.norm(r) + 1e-12)
+            assert rel < 0.05, rel
+
+
 @pytest.mark.parametrize("joint_uncond", [False, True])
 def test_quantized_forward_snr(joint_uncond):
     """Full CFG forward, quantized vs reference path, tiny model: the int8
