@@ -136,6 +136,67 @@ def sample_pipeline(
     return audio, normalized[0], timings
 
 
+def sample_pipeline_batch(
+    tts: EchoTTS,
+    requests,                       # list of (text, speaker_audio|None, seed)
+    sc: Optional[SamplerConfig] = None,
+    normalize_text: bool = False,
+):
+    """Batched form of `sample_pipeline`: N utterances through ONE fused
+    sampler+vocoder executable (the serving micro-batcher's device call; the
+    reference has no batched serving path — its only batch dim is the CFG
+    triple, inference.py:499-504).
+
+    Every request is prepared exactly as in the single path (own tokenize,
+    own chunked speaker encode, own per-seed noise rows — `draw_noise(seed)`
+    for batch row i is identical to the B=1 call, so results match the
+    serial path), then padded to the max text/speaker bucket present in the
+    batch; masks make the padding inert. Returns a list of
+    (audio (1, 1, T_i), normalized_text, timings) in request order, each
+    cropped at its own flattening point.
+    """
+    sc = sc or SamplerConfig()
+    preps = [
+        _prepare_inputs(tts, text, spk, normalize_text, None, None, True)
+        for text, spk, _seed in requests
+    ]
+    text_len = max(p[0].shape[1] for p in preps)
+    spk_len = max(p[3].shape[1] for p in preps)
+    ids = np.concatenate([_pad_to(np.asarray(p[0]), text_len) for p in preps])
+    text_mask = np.concatenate(
+        [_pad_to(np.asarray(p[1]), text_len) for p in preps])
+    speaker_latent = np.concatenate(
+        [_pad_to(np.asarray(p[3]), spk_len) for p in preps])
+    speaker_mask = np.concatenate(
+        [_pad_to(np.asarray(p[4]), spk_len) for p in preps])
+
+    t0 = time.perf_counter()
+    noise = jnp.concatenate([
+        draw_noise(seed, (1, sc.sequence_length, tts.dit_cfg.latent_size))
+        for _text, _spk, seed in requests])
+    latents, audio = _sample_and_decode(
+        tts.dit_params, tts.dit_cfg, sc, tts.ae_params, tts.ae_cfg, tts.pca,
+        jnp.asarray(speaker_latent), jnp.asarray(speaker_mask),
+        jnp.asarray(ids), jnp.asarray(text_mask), noise, tts.model_dtype)
+    audio = np.asarray(audio)
+    latents = np.asarray(latents)
+    sample_wall = time.perf_counter() - t0
+
+    out = []
+    for i, p in enumerate(preps):
+        t0 = time.perf_counter()
+        cropped = crop_audio_to_flattening_point(
+            audio[i:i + 1], latents[i],
+            samples_per_latent=tts.ae_cfg.frame_length)
+        timings = dict(p[5])
+        timings["sample"] = sample_wall          # shared batched device call
+        timings["vocoder"] = 0.0
+        timings["crop"] = time.perf_counter() - t0
+        timings["batch_size"] = float(len(requests))
+        out.append((cropped, p[2][0], timings))
+    return out
+
+
 def _pad_to(arr: np.ndarray, n: int) -> np.ndarray:
     if arr.shape[1] >= n:
         return arr[:, :n]

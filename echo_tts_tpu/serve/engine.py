@@ -21,22 +21,56 @@ from typing import Optional
 import numpy as np
 
 from echo_tts_tpu.core.config import SamplerConfig
-from echo_tts_tpu.pipeline.pipeline import EchoTTS, sample_pipeline
+from echo_tts_tpu.pipeline.pipeline import (
+    EchoTTS,
+    sample_pipeline,
+    sample_pipeline_batch,
+)
 from echo_tts_tpu.train.lora import load_lora_checkpoint, merge_lora
 
 log = logging.getLogger("echo_tts_tpu.serve")
 
 
+class _PendingRequest:
+    """One queued generation awaiting the micro-batcher."""
+
+    __slots__ = ("text", "speaker", "seed", "sc", "normalize", "key",
+                 "event", "result", "error")
+
+    def __init__(self, text, speaker, seed, sc, normalize, key):
+        self.text = text
+        self.speaker = speaker
+        self.seed = seed
+        self.sc = sc
+        self.normalize = normalize
+        self.key = key
+        self.event = threading.Event()
+        self.result = None
+        self.error = None
+
+
 class Engine:
     def __init__(self, tts: EchoTTS, max_retries: int = 1, int8: bool = False,
-                 int8_encoders: bool = False):
+                 int8_encoders: bool = False, max_batch: int = 1,
+                 batch_wait_ms: float = 10.0):
         """int8: opt-in W8A8 trunk quantization (models/quant.py) — applied
         to the effective params after any LoRA merge; the bf16 base stays
         resident for future merges. ~1.34x serving throughput (BASELINE.md)
         at a measured small quality cost (scripts/quant_snr.py).
         int8_encoders additionally quantizes encoder/KV-projection GEMMs
         (noise frozen into the per-utterance KV caches; check
-        quant_snr.py --encoders)."""
+        quant_snr.py --encoders).
+
+        max_batch > 1 enables continuous micro-batching: concurrent
+        `generate` calls whose (sampler config, bucket shapes) match are
+        grouped — a dispatcher waits up to `batch_wait_ms` for companions —
+        and run as ONE batched fused sampler+vocoder call
+        (pipeline.sample_pipeline_batch). Results are identical to serial
+        generation (per-seed noise rows match the B=1 path); throughput at
+        B=2 measured ~5% over serialized B=1 (BASELINE.md batch curve), and
+        queue latency under concurrent load drops ~B-fold. The reference has
+        no batched serving (single Gradio callback, gradio_app.py:229-430).
+        """
         import dataclasses
 
         self._base_params = tts.dit_params
@@ -51,7 +85,27 @@ class Engine:
         self._lock = threading.Lock()
         self._current_lora_path: Optional[str] = None
         self.stats = {"requests": 0, "failures": 0, "retries": 0,
-                      "total_sample_s": 0.0, "total_audio_s": 0.0}
+                      "total_sample_s": 0.0, "total_audio_s": 0.0,
+                      "batches": 0}
+        self.max_batch = max_batch
+        self.batch_wait_ms = batch_wait_ms
+        self._queue = []
+        self._qcond = threading.Condition()
+        self._shutdown = False
+        self._dispatcher = None
+        if max_batch > 1:
+            self._dispatcher = threading.Thread(
+                target=self._dispatch_loop, daemon=True,
+                name="echo-tts-microbatcher")
+            self._dispatcher.start()
+
+    def close(self) -> None:
+        """Stop the micro-batcher thread (no-op when batching is off)."""
+        with self._qcond:
+            self._shutdown = True
+            self._qcond.notify_all()
+        if self._dispatcher is not None:
+            self._dispatcher.join(timeout=5)
 
     def _effective(self, params):
         if not self.int8:
@@ -91,6 +145,9 @@ class Engine:
     ):
         """Returns (audio (1, 1, T) float32, normalized_text, timings)."""
         sc = sc or SamplerConfig()
+        if self.max_batch > 1:
+            return self._generate_queued(text, speaker_audio, seed, sc,
+                                         normalize_text)
         last_err = None
         for attempt in range(self.max_retries + 1):
             try:
@@ -114,6 +171,109 @@ class Engine:
                 log.warning("generate attempt %d failed: %s", attempt, e)
         self.stats["failures"] += 1
         raise RuntimeError(f"generation failed after {self.max_retries + 1} attempts") from last_err
+
+    # -- continuous micro-batching ------------------------------------------
+    def _batch_key(self, text: str, speaker_audio, sc: SamplerConfig,
+                   normalize: bool):
+        """Group signature for batching. Only requests that would land in the
+        same compiled executable batch together: same (hashable, frozen)
+        SamplerConfig and same text/speaker shape buckets. Bucket estimates
+        are host-side and cheap (byte count / sample count); an off-by-one
+        estimate is harmless — the batch pads every member to the max bucket
+        present, so grouping only affects efficiency, never correctness."""
+        from echo_tts_tpu.pipeline.speaker import find_min_bucket_gte
+
+        pc = self.tts.pipe_cfg
+        n_text = min(len(text.encode("utf-8")) + 1, pc.max_text_length)
+        text_bucket = find_min_bucket_gte(pc.text_buckets, n_text)
+        if speaker_audio is None:
+            spk_bucket = 0
+        else:
+            n_spk = min(int(np.asarray(speaker_audio).shape[-1]
+                            // self.tts.ae_cfg.frame_length) + 1,
+                        pc.max_speaker_latent_length)
+            spk_bucket = find_min_bucket_gte(pc.speaker_buckets, n_spk)
+        return (sc, normalize, text_bucket, spk_bucket)
+
+    def _generate_queued(self, text, speaker_audio, seed, sc, normalize):
+        req = _PendingRequest(text, speaker_audio, seed, sc, normalize,
+                              self._batch_key(text, speaker_audio, sc, normalize))
+        with self._qcond:
+            if self._shutdown:
+                raise RuntimeError("engine is closed")
+            self._queue.append(req)
+            self._qcond.notify_all()
+        req.event.wait()
+        if req.error is not None:
+            raise req.error
+        return req.result
+
+    def _dispatch_loop(self):
+        while True:
+            with self._qcond:
+                while not self._queue and not self._shutdown:
+                    self._qcond.wait(0.5)
+                if self._shutdown:
+                    for r in self._queue:
+                        r.error = RuntimeError("engine closed")
+                        r.event.set()
+                    self._queue.clear()
+                    return
+                # adopt the head request's signature, then linger up to
+                # batch_wait_ms for companions with the same signature
+                key = self._queue[0].key
+                deadline = time.monotonic() + self.batch_wait_ms / 1e3
+                while (sum(r.key == key for r in self._queue) < self.max_batch):
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0 or self._shutdown:
+                        break
+                    self._qcond.wait(remaining)
+                batch, rest = [], []
+                for r in self._queue:
+                    (batch if r.key == key and len(batch) < self.max_batch
+                     else rest).append(r)
+                self._queue = rest
+            self._run_batch(batch)
+
+    def _run_batch(self, batch):
+        sc, normalize = batch[0].sc, batch[0].normalize
+        # round the device batch up to a power of two by repeating row 0:
+        # each distinct B is its own compiled executable (minutes through the
+        # relay), so B in {1, 2, 4, ...} caps compiles at log2(max_batch)+1
+        # per bucket combo; pad-row outputs are discarded
+        n = len(batch)
+        target = 1 << (n - 1).bit_length()
+        requests = [(r.text, r.speaker, r.seed) for r in batch]
+        requests += [requests[0]] * (target - n)
+        last_err = None
+        for attempt in range(self.max_retries + 1):
+            try:
+                with self._lock:
+                    t0 = time.perf_counter()
+                    results = sample_pipeline_batch(
+                        self.tts, requests, sc=sc, normalize_text=normalize)
+                    wall = time.perf_counter() - t0
+                    self.stats["requests"] += n
+                    self.stats["batches"] += 1
+                    self.stats["total_sample_s"] += wall
+                    self.stats["total_audio_s"] += sum(
+                        a.shape[-1] for a, _, _ in results[:n]
+                    ) / self.tts.ae_cfg.sample_rate
+                for r, (audio, normalized, timings) in zip(batch, results):
+                    timings["total"] = wall
+                    r.result = (audio, normalized, timings)
+                    r.event.set()
+                return
+            except Exception as e:  # pragma: no cover - device-failure path
+                last_err = e
+                self.stats["retries"] += 1
+                log.warning("batched generate attempt %d failed: %s", attempt, e)
+        self.stats["failures"] += n
+        for r in batch:
+            r.error = RuntimeError(
+                f"generation failed after {self.max_retries + 1} attempts")
+            r.error.__cause__ = last_err
+            r.event.set()
 
     def generate_stream(
         self,

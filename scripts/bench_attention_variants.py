@@ -211,10 +211,16 @@ def main():
 
     res = {}
 
+    only = None  # --only SUBSTR: run just matching variants (compile time
+    if "--only" in sys.argv:  # through the relay is minutes for the full set)
+        only = sys.argv[sys.argv.index("--only") + 1].lower()
+
     def bench(name, call, segs):
         """call(x, k_self, v_self, segments); segment arrays are jit ARGS,
         never closures — closed-over arrays become HLO constants and the
         relay chokes on the upload (memory: axon-tpu-relay-pitfalls)."""
+        if only is not None and only not in name.lower():
+            return
         flat = [a for seg in segs for a in seg]
 
         def make_run(inner):
@@ -260,6 +266,22 @@ def main():
                         use_exp2=True), segs2)
     bench("2seg tq=640 bias", lambda q, k, v, s:
           attention_var(q, k, v, s, tq=640, mask_mode="bias"), segs2)
+    # production config as of 2026-08-20: tq=640 + exp2 + additive bias
+    bench("2seg tq=640 bias exp2 (prod)", lambda q, k, v, s:
+          attention_var(q, k, v, s, tq=640, mask_mode="bias",
+                        use_exp2=True), segs2)
+    # single pre-concatenated ctx segment (concat happens once per utterance
+    # at KV-build time, not per layer): one (640, 2368) dot + one exp block
+    # instead of two of each
+    bench("1seg tq=640 bias exp2", lambda q, k, v, s:
+          attention_var(q, k, v, s, tq=640, mask_mode="bias",
+                        use_exp2=True), segs1)
+    bench("1seg tq=320 bias exp2", lambda q, k, v, s:
+          attention_var(q, k, v, s, tq=320, mask_mode="bias",
+                        use_exp2=True), segs1)
+    bench("1seg tq=640 bias DOTS-only", lambda q, k, v, s:
+          attention_var(q, k, v, s, tq=640, mask_mode="bias",
+                        probe="dots"), segs1)
 
     print(json.dumps({k: round(v, 3) for k, v in res.items()}))
 

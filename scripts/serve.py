@@ -39,6 +39,10 @@ def main():
     ap.add_argument("--int8", action="store_true",
                     help="opt-in W8A8 int8 trunk (models/quant.py): ~1.34x "
                          "throughput at 46.9 dB latent SNR (BASELINE.md)")
+    ap.add_argument("--max-batch", type=int, default=1,
+                    help=">1 enables continuous micro-batching: concurrent "
+                         "compatible requests run as one batched device call")
+    ap.add_argument("--batch-wait-ms", type=float, default=10.0)
     args = ap.parse_args()
 
     if args.cpu:
@@ -75,7 +79,8 @@ def main():
         tts = EchoTTS(dit_params, dit_cfg, ae_params, ae_cfg,
                       PCAState.from_safetensors(args.pca))
 
-    engine = Engine(tts, int8=args.int8)
+    engine = Engine(tts, int8=args.int8, max_batch=args.max_batch,
+                    batch_wait_ms=args.batch_wait_ms)
     if args.warmup:
         from echo_tts_tpu.core.config import SamplerConfig as _SC
 

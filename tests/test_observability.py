@@ -58,14 +58,19 @@ def test_engine_retry_on_transient_failure(monkeypatch):
 
     monkeypatch.setattr(eng_mod, "sample_pipeline", flaky_pipeline)
 
+    import dataclasses
+
     class FakeAECfg:
         sample_rate = 44100
 
+    # a real dataclass: Engine.__init__ copies the container with
+    # dataclasses.replace so quantization/LoRA swaps never leak to the caller
+    @dataclasses.dataclass
     class FakeTTS:
-        dit_params = {}
-        ae_cfg = FakeAECfg()
+        dit_params: dict
+        ae_cfg: object
 
-    e = Engine(FakeTTS(), max_retries=1)
+    e = Engine(FakeTTS({}, FakeAECfg()), max_retries=1)
     audio, text, timings = e.generate("retry test", None,
                                       sc=SamplerConfig(num_steps=1))
     assert calls["n"] == 2

@@ -268,3 +268,55 @@ def test_engine_int8_opt_in(tiny_tts, tmp_path):  # noqa: F811
     assert is_quantized(eng.tts.dit_params["blocks"]["mlp"]["w1"])
     eng.set_lora(None)
     assert is_quantized(eng.tts.dit_params["blocks"]["attention"]["wo"])
+
+
+def test_engine_micro_batching_matches_serial(tiny_tts):  # noqa: F811
+    """max_batch>1: concurrent generates with the same signature are grouped
+    into ONE batched fused device call (pipeline.sample_pipeline_batch) and
+    the per-request audio matches serial generation (per-seed noise rows are
+    identical to the B=1 path)."""
+    import dataclasses
+    from concurrent.futures import ThreadPoolExecutor
+
+    _, _, tts = tiny_tts
+    serial = Engine(dataclasses.replace(tts))
+    texts_seeds = [("Batch one.", 31), ("Batch two two.", 32),
+                   ("Batch three three three.", 33)]
+    ref = {s: serial.generate(t, None, seed=s, sc=SC)[0]
+           for t, s in texts_seeds}
+
+    eng = Engine(dataclasses.replace(tts), max_batch=4, batch_wait_ms=300.0)
+    try:
+        with ThreadPoolExecutor(max_workers=3) as ex:
+            outs = list(ex.map(
+                lambda ts: (ts[1], eng.generate(ts[0], None, seed=ts[1], sc=SC)),
+                texts_seeds))
+        for seed, (audio, normalized, timings) in outs:
+            np.testing.assert_allclose(audio, ref[seed], atol=1e-5)
+            assert timings["batch_size"] >= 3.0
+        st = eng.health()
+        assert st["requests"] == 3
+        assert st["batches"] == 1  # all three in one device call
+    finally:
+        eng.close()
+
+
+def test_engine_micro_batching_splits_incompatible(tiny_tts):  # noqa: F811
+    """Requests with different SamplerConfigs never share a device batch —
+    the dispatcher groups by signature; stragglers run in a later batch."""
+    import dataclasses
+    from concurrent.futures import ThreadPoolExecutor
+
+    _, _, tts = tiny_tts
+    sc_b = dataclasses.replace(SC, cfg_scale_text=4.0)
+    eng = Engine(dataclasses.replace(tts), max_batch=4, batch_wait_ms=100.0)
+    try:
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            fa = ex.submit(eng.generate, "Same text.", None, 41, SC)
+            fb = ex.submit(eng.generate, "Same text.", None, 41, sc_b)
+            a, b = fa.result()[0], fb.result()[0]
+        assert not np.allclose(a, b)  # different guidance scales took effect
+        st = eng.health()
+        assert st["requests"] == 2 and st["batches"] == 2
+    finally:
+        eng.close()
