@@ -89,6 +89,7 @@ def sample_pipeline(
     normalize_text: bool = False,
     noise: Optional[np.ndarray] = None,
     use_buckets: bool = True,
+    speaker_cache=None,
 ) -> Tuple[np.ndarray, str, dict]:
     """reference: inference.py:346-400. Returns (audio (B, 1, T), normalized
     text, timing dict).
@@ -101,7 +102,8 @@ def sample_pipeline(
     (ids, text_mask, normalized, speaker_latent, speaker_mask,
      timings) = _prepare_inputs(
         tts, text_prompt, speaker_audio, normalize_text,
-        pad_to_max_text_length, pad_to_max_speaker_latent_length, use_buckets)
+        pad_to_max_text_length, pad_to_max_speaker_latent_length, use_buckets,
+        speaker_cache=speaker_cache)
 
     t0 = time.perf_counter()
     if noise is None:
@@ -141,6 +143,7 @@ def sample_pipeline_batch(
     requests,                       # list of (text, speaker_audio|None, seed)
     sc: Optional[SamplerConfig] = None,
     normalize_text: bool = False,
+    speaker_cache=None,
 ):
     """Batched form of `sample_pipeline`: N utterances through ONE fused
     sampler+vocoder executable (the serving micro-batcher's device call; the
@@ -157,7 +160,8 @@ def sample_pipeline_batch(
     """
     sc = sc or SamplerConfig()
     preps = [
-        _prepare_inputs(tts, text, spk, normalize_text, None, None, True)
+        _prepare_inputs(tts, text, spk, normalize_text, None, None, True,
+                        speaker_cache=speaker_cache)
         for text, spk, _seed in requests
     ]
     text_len = max(p[0].shape[1] for p in preps)
@@ -209,9 +213,18 @@ def _prepare_inputs(tts: EchoTTS, text_prompt: str,
                     speaker_audio: Optional[np.ndarray], normalize_text: bool,
                     pad_to_max_text_length: Optional[int],
                     pad_to_max_speaker_latent_length: Optional[int],
-                    use_buckets: bool):
+                    use_buckets: bool,
+                    speaker_cache=None):
     """Shared text/speaker preprocessing for the one-shot and streaming
-    pipelines (reference: inference.py:366-390)."""
+    pipelines (reference: inference.py:366-390).
+
+    speaker_cache: optional mutable mapping {key: (latent, mask)} consulted
+    before the chunked AE encode — repeat speaker prompts (the common TTS
+    serving pattern: one voice, many texts) skip the encoder entirely
+    (~0.5 s for a 5-min reference, BASELINE.md). Keys include the audio
+    content hash and the pad policy, so a cache hit is exactly the encode it
+    replaces. Eviction policy belongs to the caller (serve.Engine uses an
+    LRU)."""
     pc = tts.pipe_cfg
     timings = {}
 
@@ -233,12 +246,27 @@ def _prepare_inputs(tts: EchoTTS, text_prompt: str,
         speaker_latent = np.zeros((1, n, tts.dit_cfg.latent_size), np.float32)
         speaker_mask = np.zeros((1, n), bool)
     else:
-        speaker_latent, speaker_mask = get_speaker_latent_and_mask(
-            tts.ae_params, tts.ae_cfg, tts.pca, speaker_audio,
-            max_speaker_latent_length=(pad_to_max_speaker_latent_length
-                                       or pc.max_speaker_latent_length),
-            audio_chunk_latents=pc.audio_chunk_latents,
-            pad_to_max=pad_to_max_speaker_latent_length is not None)
+        cache_key = None
+        cached = None
+        if speaker_cache is not None:
+            import hashlib
+
+            arr = np.ascontiguousarray(np.asarray(speaker_audio))
+            cache_key = (arr.shape, hashlib.sha1(arr.tobytes()).hexdigest(),
+                         pad_to_max_speaker_latent_length)
+            cached = speaker_cache.get(cache_key)
+        if cached is not None:
+            speaker_latent, speaker_mask = cached
+            timings["speaker_encode_cache_hit"] = 1.0
+        else:
+            speaker_latent, speaker_mask = get_speaker_latent_and_mask(
+                tts.ae_params, tts.ae_cfg, tts.pca, speaker_audio,
+                max_speaker_latent_length=(pad_to_max_speaker_latent_length
+                                           or pc.max_speaker_latent_length),
+                audio_chunk_latents=pc.audio_chunk_latents,
+                pad_to_max=pad_to_max_speaker_latent_length is not None)
+            if cache_key is not None:
+                speaker_cache[cache_key] = (speaker_latent, speaker_mask)
         if pad_to_max_speaker_latent_length is None and use_buckets:
             bucket = find_min_bucket_gte(pc.speaker_buckets, speaker_latent.shape[1])
             speaker_latent = _pad_to(speaker_latent, bucket)
@@ -281,6 +309,7 @@ def sample_pipeline_stream(
     stop_at_flattening: bool = True,
     decode_context_frames: Optional[int] = None,
     continuation_audio: Optional[np.ndarray] = None,
+    speaker_cache=None,
 ):
     """Streaming generation: blockwise sampling + causal streamed decode.
 
@@ -324,7 +353,8 @@ def sample_pipeline_stream(
             " this checkpoint was converted with delete_blockwise_modules")
     sc = sc or SamplerConfig()
     ids, text_mask, _, speaker_latent, speaker_mask, _ = _prepare_inputs(
-        tts, text_prompt, speaker_audio, normalize_text, None, None, True)
+        tts, text_prompt, speaker_audio, normalize_text, None, None, True,
+        speaker_cache=speaker_cache)
 
     block_sizes = _block_schedule(block_size, sc.sequence_length)
     spl = tts.ae_cfg.frame_length

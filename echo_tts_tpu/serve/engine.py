@@ -31,6 +31,35 @@ from echo_tts_tpu.train.lora import load_lora_checkpoint, merge_lora
 log = logging.getLogger("echo_tts_tpu.serve")
 
 
+class _LRUCache:
+    """Tiny LRU mapping for speaker-conditioning reuse (get/__setitem__ are
+    the only operations the pipeline uses). Not thread-safe on its own —
+    every access happens under the engine's device lock."""
+
+    def __init__(self, capacity: int):
+        from collections import OrderedDict
+
+        self.capacity = capacity
+        self._d = OrderedDict()
+        self.hits = 0
+        self.misses = 0
+
+    def get(self, key):
+        v = self._d.get(key)
+        if v is None:
+            self.misses += 1
+            return None
+        self._d.move_to_end(key)
+        self.hits += 1
+        return v
+
+    def __setitem__(self, key, value):
+        self._d[key] = value
+        self._d.move_to_end(key)
+        while len(self._d) > self.capacity:
+            self._d.popitem(last=False)
+
+
 class _PendingRequest:
     """One queued generation awaiting the micro-batcher."""
 
@@ -52,7 +81,7 @@ class _PendingRequest:
 class Engine:
     def __init__(self, tts: EchoTTS, max_retries: int = 1, int8: bool = False,
                  int8_encoders: bool = False, max_batch: int = 1,
-                 batch_wait_ms: float = 10.0):
+                 batch_wait_ms: float = 10.0, speaker_cache_size: int = 8):
         """int8: opt-in W8A8 trunk quantization (models/quant.py) — applied
         to the effective params after any LoRA merge; the bf16 base stays
         resident for future merges. ~1.34x serving throughput (BASELINE.md)
@@ -70,6 +99,10 @@ class Engine:
         B=2 measured ~5% over serialized B=1 (BASELINE.md batch curve), and
         queue latency under concurrent load drops ~B-fold. The reference has
         no batched serving (single Gradio callback, gradio_app.py:229-430).
+
+        speaker_cache_size: LRU entries of encoded speaker conditioning
+        (content-hash keyed) — repeat prompts from the same voice skip the
+        chunked AE encode (~0.5 s for a 5-min reference). 0 disables.
         """
         import dataclasses
 
@@ -87,6 +120,8 @@ class Engine:
         self.stats = {"requests": 0, "failures": 0, "retries": 0,
                       "total_sample_s": 0.0, "total_audio_s": 0.0,
                       "batches": 0}
+        self._speaker_cache = (_LRUCache(speaker_cache_size)
+                               if speaker_cache_size > 0 else None)
         self.max_batch = max_batch
         self.batch_wait_ms = batch_wait_ms
         self._queue = []
@@ -155,7 +190,8 @@ class Engine:
                     t0 = time.perf_counter()
                     audio, normalized, timings = sample_pipeline(
                         self.tts, text, speaker_audio, seed, sc=sc,
-                        normalize_text=normalize_text)
+                        normalize_text=normalize_text,
+                        speaker_cache=self._speaker_cache)
                     wall = time.perf_counter() - t0
                     # stats under the same lock: handler threads share the
                     # dict and bare += is a read-modify-write race
@@ -251,7 +287,8 @@ class Engine:
                 with self._lock:
                     t0 = time.perf_counter()
                     results = sample_pipeline_batch(
-                        self.tts, requests, sc=sc, normalize_text=normalize)
+                        self.tts, requests, sc=sc, normalize_text=normalize,
+                        speaker_cache=self._speaker_cache)
                     wall = time.perf_counter() - t0
                     self.stats["requests"] += n
                     self.stats["batches"] += 1
@@ -302,7 +339,8 @@ class Engine:
                 for chunk in sample_pipeline_stream(
                         self.tts, text, speaker_audio, seed, sc=sc,
                         block_size=block_size, normalize_text=normalize_text,
-                        continuation_audio=continuation_audio):
+                        continuation_audio=continuation_audio,
+                        speaker_cache=self._speaker_cache):
                     n_samples += chunk.shape[-1]
                     yield chunk
                 done = True
@@ -370,4 +408,8 @@ class Engine:
         return rec[:, :, : n_frames * spl]
 
     def health(self) -> dict:
-        return {"status": "ok", "lora": self._current_lora_path, **self.stats}
+        out = {"status": "ok", "lora": self._current_lora_path, **self.stats}
+        if self._speaker_cache is not None:
+            out["speaker_cache_hits"] = self._speaker_cache.hits
+            out["speaker_cache_misses"] = self._speaker_cache.misses
+        return out

@@ -320,3 +320,43 @@ def test_engine_micro_batching_splits_incompatible(tiny_tts):  # noqa: F811
         assert st["requests"] == 2 and st["batches"] == 2
     finally:
         eng.close()
+
+
+def test_engine_speaker_cache_reuses_encode(tiny_tts, monkeypatch):  # noqa: F811
+    """Repeat speaker prompts skip the chunked AE encode: the engine's LRU
+    caches (latent, mask) by audio content hash; audio output is unchanged."""
+    import dataclasses
+
+    import echo_tts_tpu.pipeline.pipeline as pipe_mod
+
+    _, _, tts = tiny_tts
+    spl = tts.ae_cfg.frame_length
+    rng = np.random.default_rng(7)
+    voice = 0.1 * rng.standard_normal((1, 8 * spl)).astype(np.float32)
+
+    calls = {"n": 0}
+    real = pipe_mod.get_speaker_latent_and_mask
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(pipe_mod, "get_speaker_latent_and_mask", counting)
+
+    uncached = Engine(dataclasses.replace(tts), speaker_cache_size=0)
+    ref, _, _ = uncached.generate("Voice cache.", voice, seed=5, sc=SC)
+    assert calls["n"] == 1
+
+    eng = Engine(dataclasses.replace(tts), speaker_cache_size=4)
+    a1, _, t1 = eng.generate("Voice cache.", voice, seed=5, sc=SC)
+    a2, _, t2 = eng.generate("Voice cache two.", voice, seed=6, sc=SC)
+    assert calls["n"] == 2  # one more encode total: second request hit the LRU
+    assert "speaker_encode_cache_hit" in t2 and "speaker_encode_cache_hit" not in t1
+    np.testing.assert_allclose(a1, ref, atol=0)  # cache changes nothing
+    st = eng.health()
+    assert st["speaker_cache_hits"] == 1 and st["speaker_cache_misses"] == 1
+
+    # different audio -> its own encode
+    other = 0.1 * rng.standard_normal((1, 8 * spl)).astype(np.float32)
+    eng.generate("Voice cache three.", other, seed=7, sc=SC)
+    assert calls["n"] == 3
