@@ -200,6 +200,7 @@ def get_kv_cache_latent(params: dict, cfg: DiTConfig, prefix_latent):
 #                        (training on TPU; custom VJP)
 #   "pallas_vjp_interpret" — same, interpreter mode (CPU tests)
 _ATTN_IMPL = "auto"
+_ATTN_TP = None  # (Mesh, head-axis name): shard_map the Pallas kernel
 
 
 def set_attention_impl(impl: str) -> None:
@@ -207,6 +208,62 @@ def set_attention_impl(impl: str) -> None:
     assert impl in ("auto", "xla", "pallas", "pallas_interpret",
                     "pallas_vjp", "pallas_vjp_interpret"), impl
     _ATTN_IMPL = impl
+
+
+def set_attention_tp(mesh, axis: str = "tp") -> None:
+    """Enable tensor-parallel execution of the Pallas attention kernel.
+
+    GSPMD partitions the annotated einsums/GEMMs (parallel/sharding.py) but
+    CANNOT partition a pallas_call — under a tp>1 mesh the kernel's operands
+    would be all-gathered onto every device, forfeiting the TP split exactly
+    on the op the kernel exists to accelerate. This registers a shard_map
+    wrapper: one kernel instance per tp shard over its LOCAL heads.
+    Attention is head-parallel (per-head softmax), so the wrapper needs zero
+    collectives; the attention-output all-reduce still comes from the
+    row-sharded wo annotation outside. Call with mesh=None to disable.
+    Heads (16) must divide by the tp axis size."""
+    global _ATTN_TP
+    _ATTN_TP = None if mesh is None else (mesh, axis)
+
+
+def _pallas_call_maybe_tp(q, k_self, v_self, segments, interpret: bool,
+                          layout: str):
+    """Route a Pallas attention call through shard_map when a TP mesh is
+    registered (set_attention_tp), else call directly."""
+    from echo_tts_tpu.ops.pallas_attention import joint_attention_grouped_pallas
+
+    if _ATTN_TP is None:
+        return joint_attention_grouped_pallas(
+            q, k_self, v_self, segments, interpret=interpret, layout=layout)
+
+    from jax import shard_map  # jax >= 0.8 API (check_vma, not check_rep)
+    from jax.sharding import PartitionSpec as P
+
+    mesh, axis = _ATTN_TP
+    h_ax = 2 if layout == "hm" else 3
+
+    def hspec(ndim, ax):
+        return P(*[axis if i == ax else None for i in range(ndim)])
+
+    q_spec = hspec(5, h_ax)
+    flat, seg_specs = [], []
+    for k, v, m, s in segments:
+        # scale must be a concrete operand for shard_map's pytree specs
+        flat += [k, v, m, jnp.asarray(1.0 if s is None else s, jnp.float32)]
+        seg_specs += [hspec(4, 1), hspec(4, 1), P(), P()]
+    nseg = len(segments)
+
+    def local(q_, ks_, vs_, *fl):
+        segs = [(fl[4 * i], fl[4 * i + 1], fl[4 * i + 2], fl[4 * i + 3])
+                for i in range(nseg)]
+        return joint_attention_grouped_pallas(
+            q_, ks_, vs_, segs, interpret=interpret, layout=layout)
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(q_spec, q_spec, q_spec, *seg_specs),
+        out_specs=q_spec, check_vma=False,
+    )(q, k_self, v_self, *flat)
 
 
 def _pick_attention_impl(d: int) -> str:
@@ -244,8 +301,6 @@ def _joint_attention_grouped(q, k_self, v_self, segments, layout: str = "hm",
             q, k_self, v_self, [s[:4] for s in segments],
             interpret=(impl == "pallas_vjp_interpret"))
     if impl in ("pallas", "pallas_interpret"):
-        from echo_tts_tpu.ops.pallas_attention import joint_attention_grouped_pallas
-
         interp = impl == "pallas_interpret"
         g = q.shape[0]
         skips = [tuple(s[4]) if len(s) > 4 else () for s in segments]
@@ -269,12 +324,12 @@ def _joint_attention_grouped(q, k_self, v_self, segments, layout: str = "hm",
                 segs = [(segments[i][0], segments[i][1],
                          segments[i][2][gi:gj], segments[i][3])
                         for i in visible[gi]]
-                outs.append(joint_attention_grouped_pallas(
+                outs.append(_pallas_call_maybe_tp(
                     q[gi:gj], k_self[gi:gj], v_self[gi:gj], segs,
                     interpret=interp, layout=layout))
                 gi = gj
             return jnp.concatenate(outs, axis=0)
-        return joint_attention_grouped_pallas(
+        return _pallas_call_maybe_tp(
             q, k_self, v_self, [s[:4] for s in segments], interpret=interp,
             layout=layout)
     if layout == "sm":  # XLA path computes head-major

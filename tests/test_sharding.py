@@ -95,3 +95,44 @@ def test_sharded_train_step(inputs):
     opt_state = opt.init(sp)
     p2, _, loss = step(sp, opt_state, jax.random.PRNGKey(0), batch)
     assert np.isfinite(float(loss))
+
+
+def test_tp_shard_map_pallas_attention(inputs):
+    """set_attention_tp: the Pallas kernel (interpret mode on CPU) runs under
+    shard_map with heads split over the tp axis and matches the unsharded XLA
+    forward. GSPMD alone cannot partition a pallas_call — without the wrapper
+    a tp mesh would all-gather the kernel operands onto every device."""
+    from echo_tts_tpu.models import dit as dit_mod
+
+    params, x, t, ids, tmask, spk, smask, _ = inputs
+    kvt = get_kv_cache_text(params, CFG, ids, tmask)
+    kvs = get_kv_cache_speaker(params, CFG, spk)
+    ref = dit_forward(params, CFG, x, t, tmask, smask, kvt, kvs,
+                      attn_impl="xla")
+
+    mesh = make_mesh(MeshConfig(dp=2, tp=2))  # tiny CFG: 4 heads -> 2/shard
+    sp = shard_params(params, mesh)
+    kvt_s = get_kv_cache_text(sp, CFG, ids, tmask)
+    kvs_s = get_kv_cache_speaker(sp, CFG, spk)
+    dit_mod.set_attention_tp(mesh)
+    try:
+        out = dit_forward(sp, CFG, x, t, tmask, smask, kvt_s, kvs_s,
+                          attn_impl="pallas_interpret")
+    finally:
+        dit_mod.set_attention_tp(None)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-4)
+
+    # force-speaker scale goes through the wrapper's scalar operand path
+    svec = jnp.full((CFG.num_layers,), 1.5, jnp.float32)
+    ref_s = dit_forward(params, CFG, x, t, tmask, smask, kvt, kvs,
+                        speaker_kv_scale=svec, attn_impl="xla")
+    dit_mod.set_attention_tp(mesh)
+    try:
+        out_s = dit_forward(sp, CFG, x, t, tmask, smask, kvt_s, kvs_s,
+                            speaker_kv_scale=svec,
+                            attn_impl="pallas_interpret")
+    finally:
+        dit_mod.set_attention_tp(None)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(ref_s),
+                               atol=1e-5, rtol=1e-4)
