@@ -43,29 +43,64 @@ class EchoTTSDataset:
         pca: PCAState,
         max_latent_length: Optional[int] = None,
         speaker_max_duration: float = 30.0,
+        io_workers: int = 2,
     ):
+        """io_workers > 0 overlaps host audio decode (native resampler /
+        libmpg123 — echo_tts_tpu.native) with the device AE encode of the
+        previous file: decode jobs run on a thread pool with a bounded
+        in-flight window while the main thread feeds the encoder. The
+        reference pre-encodes serially (train_utils.py:133-194). 0 = serial.
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
         self.samples = samples
         self.max_latent_length = max_latent_length
         self.latent_cache: Dict[str, np.ndarray] = {}
         self.speaker_cache: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
 
+        # distinct decode jobs, in deterministic first-appearance order
+        lat_paths, spk_paths = [], []
         for s in samples:
             if s.audio_path not in self.latent_cache:
-                audio = load_audio(s.audio_path)
+                self.latent_cache[s.audio_path] = None
+                lat_paths.append(s.audio_path)
+            sp = s.speaker_audio_path or s.audio_path
+            if sp not in self.speaker_cache:
+                self.speaker_cache[sp] = None
+                spk_paths.append(sp)
+
+        jobs = ([("lat", p, lambda p=p: load_audio(p)) for p in lat_paths]
+                + [("spk", p, lambda p=p: load_audio(
+                    p, max_duration=speaker_max_duration)) for p in spk_paths])
+
+        def encode(kind, path, audio):
+            if kind == "lat":
                 if max_latent_length is not None:
                     audio = audio[:, : max_latent_length * ae_cfg.frame_length]
                 lat = np.asarray(ae_encode(ae_params, ae_cfg, pca,
                                            jnp.asarray(audio[None])))
                 if max_latent_length is not None:
                     lat = lat[:, :max_latent_length]
-                self.latent_cache[s.audio_path] = lat[0]
-
-            sp = s.speaker_audio_path or s.audio_path
-            if sp not in self.speaker_cache:
-                audio = load_audio(sp, max_duration=speaker_max_duration)
+                self.latent_cache[path] = lat[0]
+            else:
                 slat, smask = get_speaker_latent_and_mask(
                     ae_params, ae_cfg, pca, audio)
-                self.speaker_cache[sp] = (slat[0], smask[0])
+                self.speaker_cache[path] = (slat[0], smask[0])
+
+        if io_workers <= 0:
+            for kind, path, decode in jobs:
+                encode(kind, path, decode())
+        else:
+            window = 2 * io_workers  # bounded in-flight decodes (memory cap)
+            with ThreadPoolExecutor(io_workers) as ex:
+                pending = []
+                for kind, path, decode in jobs:
+                    pending.append((kind, path, ex.submit(decode)))
+                    if len(pending) >= window:
+                        k, p, fut = pending.pop(0)
+                        encode(k, p, fut.result())
+                for k, p, fut in pending:
+                    encode(k, p, fut.result())
 
     def __len__(self) -> int:
         return len(self.samples)
@@ -118,6 +153,40 @@ def batches(dataset: EchoTTSDataset, batch_size: int, rng: np.random.Generator,
     order = rng.permutation(len(dataset))
     for i in range(0, len(order) - batch_size + 1, batch_size):
         yield collate([dataset[j] for j in order[i : i + batch_size]], **collate_kw)
+
+
+def batches_prefetch(dataset: EchoTTSDataset, batch_size: int,
+                     rng: np.random.Generator, prefetch: int = 2,
+                     **collate_kw):
+    """`batches` with a producer thread: the next `prefetch` collated batches
+    are built while the device runs the current train step (host collate +
+    tokenize off the step's critical path — the input-pipeline half of the
+    weak-scaling story, SURVEY.md §7.3 item 6). Identical batch sequence to
+    `batches` for the same rng state."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, prefetch))
+    _END = object()
+
+    def produce():
+        try:
+            for b in batches(dataset, batch_size, rng, **collate_kw):
+                q.put(b)
+            q.put(_END)
+        except BaseException as e:  # surface producer errors to the consumer
+            q.put(e)
+
+    t = threading.Thread(target=produce, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+    t.join()
 
 
 AUDIO_EXTENSIONS = (".wav", ".mp3", ".flac", ".ogg", ".m4a")

@@ -42,7 +42,8 @@ def main():
     from echo_tts_tpu.checkpoints.io import load_ae_from_safetensors, load_dit_from_safetensors
     from echo_tts_tpu.models.pca import PCAState
     from echo_tts_tpu.train.data import (
-        EchoTTSDataset, batches, collate, prepare_samples_from_directory,
+        EchoTTSDataset, batches, batches_prefetch, collate,
+        prepare_samples_from_directory,
         transcribe_audio_files)
     from echo_tts_tpu.train.loop import TrainConfig, make_train_step
     from echo_tts_tpu.train.lora import LoRAConfig, init_lora, save_lora_checkpoint
@@ -99,7 +100,8 @@ def main():
     key = jax.random.PRNGKey(args.seed + 1)
     for epoch in range(args.epochs):
         tot, n = 0.0, 0
-        for b in batches(ds, args.batch_size, rng):
+        # producer thread collates the next batches while the device steps
+        for b in batches_prefetch(ds, args.batch_size, rng, prefetch=2):
             jb = {k: jnp.asarray(v) for k, v in b.items()}
             key, sub = jax.random.split(key)
             lora, opt_state, loss = step(dit_params, lora, opt_state, sub, jb)

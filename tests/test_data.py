@@ -65,6 +65,28 @@ def test_dataset_and_collate(tmp_path, tiny_tts):  # noqa: F811
     bs = list(batches(ds, 2, np.random.default_rng(1), max_text_length=32))
     assert len(bs) == 1 and bs[0]["latent"].shape[0] == 2
 
+    # threaded-prefetch init (host decode overlapped with device encode)
+    # produces bit-identical caches to the serial path
+    ds_serial = EchoTTSDataset(samples, tts.ae_params, tts.ae_cfg, tts.pca,
+                               max_latent_length=32, io_workers=0)
+    for p in ds.latent_cache:
+        np.testing.assert_array_equal(ds.latent_cache[p],
+                                      ds_serial.latent_cache[p])
+    for p in ds.speaker_cache:
+        np.testing.assert_array_equal(ds.speaker_cache[p][0],
+                                      ds_serial.speaker_cache[p][0])
+
+    # batches_prefetch: identical batch sequence, built on a producer thread
+    from echo_tts_tpu.train.data import batches_prefetch
+
+    ref = list(batches(ds, 2, np.random.default_rng(2), max_text_length=32))
+    pre = list(batches_prefetch(ds, 2, np.random.default_rng(2), prefetch=2,
+                                max_text_length=32))
+    assert len(ref) == len(pre)
+    for a, b in zip(ref, pre):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
+
 
 class _FakeASR:
     """Injectable ASR stand-in (the real path needs downloaded weights)."""
