@@ -380,8 +380,21 @@ class Engine:
             with self._lock:
                 sample_pipeline(self.tts, "Warmup.", audio, 0, sc=sc,
                                 normalize_text=True)
+        n_combos = len(prompts)
+        if self.max_batch > 1:
+            # micro-batching compiles one executable per power-of-2 batch
+            # size (_run_batch rounds up); warm them on the no-speaker shape
+            # so the first concurrent burst doesn't pay a cold compile
+            b = 2
+            while b <= self.max_batch:
+                reqs = [("Warmup.", None, i) for i in range(b)]
+                with self._lock:
+                    sample_pipeline_batch(self.tts, reqs, sc=sc,
+                                          normalize_text=True)
+                n_combos += 1
+                b *= 2
         wall = time.perf_counter() - t0
-        log.info("warmup: %d bucket combos in %.1fs", len(prompts), wall)
+        log.info("warmup: %d shape combos in %.1fs", n_combos, wall)
         return wall
 
     def reconstruct(self, audio: np.ndarray) -> np.ndarray:

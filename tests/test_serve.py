@@ -360,3 +360,19 @@ def test_engine_speaker_cache_reuses_encode(tiny_tts, monkeypatch):  # noqa: F81
     other = 0.1 * rng.standard_normal((1, 8 * spl)).astype(np.float32)
     eng.generate("Voice cache three.", other, seed=7, sc=SC)
     assert calls["n"] == 3
+
+
+def test_engine_warmup_batched_shapes(tiny_tts):  # noqa: F811
+    """A batching engine's warmup also pre-compiles the power-of-2 batched
+    executables so the first concurrent burst pays no cold compile."""
+    import dataclasses
+
+    _, _, tts = tiny_tts
+    eng = Engine(dataclasses.replace(tts), max_batch=4, batch_wait_ms=50.0)
+    try:
+        wall = eng.warmup(SC, include_speaker_buckets=False)
+        assert wall > 0
+        audio, _, _ = eng.generate("Post batched warmup.", None, seed=8, sc=SC)
+        assert np.isfinite(audio).all()
+    finally:
+        eng.close()
