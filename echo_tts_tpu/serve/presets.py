@@ -61,16 +61,20 @@ def load_sampler_presets(path: str, write_default: bool = True
     return {name: SamplerConfig.from_preset(d) for name, d in raw.items()}
 
 
-def load_text_presets(path: str) -> List[Tuple[str, str]]:
-    """'Category | text' lines (reference: gradio_app.py:434-454)."""
-    out = []
+def load_text_presets(path: str) -> List[List[str]]:
+    """Text-preset table rows [category, word_count, text] from
+    'Category | text' lines — exact reference parsing (gradio_app.py:434-454):
+    split on ' | ' (one space each side), lines without the separator fall
+    back to category 'Uncategorized', word count is len(text.split())."""
     if not os.path.exists(path):
-        return out
-    with open(path) as f:
-        for line in f:
-            line = line.strip()
-            if not line or "|" not in line:
-                continue
-            cat, text = line.split("|", 1)
-            out.append((cat.strip(), text.strip()))
-    return out
+        return []
+    with open(path, encoding="utf-8") as f:
+        lines = [line.strip() for line in f if line.strip()]
+    result = []
+    for line in lines:
+        if " | " in line:
+            category, text = line.split(" | ", 1)
+        else:
+            category, text = "Uncategorized", line
+        result.append([category, str(len(text.split())), text])
+    return result

@@ -10,6 +10,8 @@ installed.
 Endpoints:
   GET  /health                         -> engine stats
   GET  /presets                        -> sampler preset dict
+  GET  /text_presets                   -> [[category, word_count, text], ...]
+       rows from text_presets.txt (reference table: gradio_app.py:434-454)
   POST /lora   {"path": ..., "strength": ...}  (null path reverts to base)
   POST /reconstruct {"wav_b64": ... or "path": ...} -> audio/wav AE round-trip
        of the first 30 s (audition; reference gradio_app.py:390-403)
@@ -98,7 +100,8 @@ def _mp3_bytes(audio: np.ndarray, sr: int, bitrate_kbps: int = 192):
         os.unlink(path)
 
 
-def make_handler(engine: Engine, presets: Dict[str, SamplerConfig]):
+def make_handler(engine: Engine, presets: Dict[str, SamplerConfig],
+                 text_presets_path: str = "text_presets.txt"):
     class Handler(BaseHTTPRequestHandler):
         # chunked transfer (used by /tts_stream) is HTTP/1.1-only; 1.0
         # clients would read the chunk framing as PCM bytes. All other
@@ -122,6 +125,10 @@ def make_handler(engine: Engine, presets: Dict[str, SamplerConfig]):
             elif self.path == "/presets":
                 self._json(200, {k: v.__dict__ if isinstance(v, SamplerConfig)
                                  else v for k, v in presets.items()})
+            elif self.path == "/text_presets":
+                from echo_tts_tpu.serve.presets import load_text_presets
+
+                self._json(200, load_text_presets(text_presets_path))
             else:
                 self._json(404, {"error": "not found"})
 
@@ -256,10 +263,12 @@ def make_handler(engine: Engine, presets: Dict[str, SamplerConfig]):
 
 def serve(engine: Engine, host: str = "127.0.0.1", port: int = 7860,
           presets: Optional[Dict[str, SamplerConfig]] = None,
-          background: bool = False) -> ThreadingHTTPServer:
+          background: bool = False,
+          text_presets_path: str = "text_presets.txt") -> ThreadingHTTPServer:
     presets = presets or {k: SamplerConfig.from_preset(v)
                           for k, v in DEFAULT_SAMPLER_PRESETS.items()}
-    httpd = ThreadingHTTPServer((host, port), make_handler(engine, presets))
+    httpd = ThreadingHTTPServer(
+        (host, port), make_handler(engine, presets, text_presets_path))
     if background:
         threading.Thread(target=httpd.serve_forever, daemon=True).start()
         return httpd

@@ -376,3 +376,29 @@ def test_engine_warmup_batched_shapes(tiny_tts):  # noqa: F811
         assert np.isfinite(audio).all()
     finally:
         eng.close()
+
+
+def test_text_presets_parsing_and_endpoint(engine, tmp_path):
+    """Text-preset table parsing mirrors the reference exactly
+    (gradio_app.py:434-454): ' | ' separator, Uncategorized fallback, word
+    counts; served at GET /text_presets."""
+    from echo_tts_tpu.serve.presets import load_text_presets
+
+    p = tmp_path / "text_presets.txt"
+    p.write_text("Reading | [S1] One two three.\n"
+                 "\n"
+                 "No separator line here\n"
+                 "Cartoon | [S1] Four five six seven.\n")
+    rows = load_text_presets(str(p))
+    assert rows == [["Reading", "4", "[S1] One two three."],
+                    ["Uncategorized", "4", "No separator line here"],
+                    ["Cartoon", "5", "[S1] Four five six seven."]]
+
+    httpd = serve(engine, port=0, background=True, text_presets_path=str(p))
+    try:
+        port = httpd.server_address[1]
+        got = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/text_presets").read())
+        assert got == rows
+    finally:
+        httpd.shutdown()
