@@ -269,7 +269,17 @@ class Engine:
                     (batch if r.key == key and len(batch) < self.max_batch
                      else rest).append(r)
                 self._queue = rest
-            self._run_batch(batch)
+            try:
+                self._run_batch(batch)
+            except BaseException as e:  # pragma: no cover — must never strand
+                # waiters: _run_batch handles expected failures internally,
+                # but an unexpected error here would otherwise kill the
+                # dispatcher thread and hang every queued generate()
+                for r in batch:
+                    if not r.event.is_set():
+                        r.error = e
+                        r.event.set()
+                log.exception("micro-batch dispatcher error")
 
     def _run_batch(self, batch):
         sc, normalize = batch[0].sc, batch[0].normalize

@@ -49,7 +49,8 @@ def test_engine_retry_on_transient_failure(monkeypatch):
     # build a minimal fake tts via monkeypatched sample_pipeline
     calls = {"n": 0}
 
-    def flaky_pipeline(tts, text, speaker, seed, sc=None, normalize_text=True):
+    def flaky_pipeline(tts, text, speaker, seed, sc=None, normalize_text=True,
+                       **kw):
         calls["n"] += 1
         if calls["n"] == 1:
             raise RuntimeError("transient device failure")
