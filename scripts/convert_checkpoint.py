@@ -14,6 +14,15 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax
+
+if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+    # honor the env var BEFORE backend init: this image pins an axon TPU
+    # plugin that otherwise claims the backend and routes every op through
+    # the remote relay (memory: axon-tpu-relay-pitfalls) — conversion is
+    # host-side work and must not depend on relay availability
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 
 DTYPES = {"bf16": jnp.bfloat16, "f32": jnp.float32, "f16": jnp.float16}

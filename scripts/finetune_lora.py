@@ -37,7 +37,15 @@ def main():
     ap.add_argument("--lr", type=float, default=5e-5)
     ap.add_argument("--val-frac", type=float, default=0.15)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (this image pins a TPU "
+                         "plugin; the env var alone is not honored)")
     args = ap.parse_args()
+
+    if args.cpu or os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        # must run before any backend use — the pinned axon TPU plugin
+        # otherwise claims the backend and every jit goes through the relay
+        jax.config.update("jax_platforms", "cpu")
 
     from echo_tts_tpu.checkpoints.io import load_ae_from_safetensors, load_dit_from_safetensors
     from echo_tts_tpu.models.pca import PCAState
@@ -49,7 +57,12 @@ def main():
     from echo_tts_tpu.train.lora import LoRAConfig, init_lora, save_lora_checkpoint
     from echo_tts_tpu.train.loss import compute_diffusion_loss
 
-    dit_params, dit_cfg = load_dit_from_safetensors(args.dit, delete_blockwise_modules=True)
+    # bf16 on TPU (the reference trains under bf16 autocast,
+    # train_utils.py:460-465); fp32 on CPU — the CPU XLA backend has no
+    # bf16-accumulating dot
+    model_dtype = jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
+    dit_params, dit_cfg = load_dit_from_safetensors(
+        args.dit, delete_blockwise_modules=True, dtype=model_dtype)
     ae_params, ae_cfg = load_ae_from_safetensors(args.ae)
     pca = PCAState.from_safetensors(args.pca)
 
@@ -79,7 +92,8 @@ def main():
                      total_steps=steps_per_epoch * args.epochs)
     lc = LoRAConfig(rank=args.rank, alpha=args.alpha)
     lora = init_lora(jax.random.PRNGKey(args.seed), dit_params, lc)
-    opt, step = make_train_step(dit_cfg, tc, lora_cfg=lc)
+    opt, step = make_train_step(dit_cfg, tc, model_dtype=model_dtype,
+                                lora_cfg=lc)
     opt_state = opt.init(lora)
 
     def val_loss(lora):
@@ -92,7 +106,8 @@ def main():
             tot += float(compute_diffusion_loss(
                 params_eff, dit_cfg, jax.random.PRNGKey(0),
                 jb["latent"], jb["latent_mask"], jb["text_input_ids"],
-                jb["text_mask"], jb["speaker_latent"], jb["speaker_mask"]))
+                jb["text_mask"], jb["speaker_latent"], jb["speaker_mask"],
+                model_dtype=model_dtype))
             n += 1
         return tot / max(n, 1)
 
