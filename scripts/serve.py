@@ -43,9 +43,21 @@ def main():
                     help=">1 enables continuous micro-batching: concurrent "
                          "compatible requests run as one batched device call")
     ap.add_argument("--batch-wait-ms", type=float, default=10.0)
+    ap.add_argument("--tp", type=int, default=1,
+                    help=">1 shards the DiT over a tensor-parallel mesh "
+                         "(Megatron head/MLP split via GSPMD + shard_map'd "
+                         "Pallas attention) — a latency / HBM-headroom mode; "
+                         "single-chip throughput serving should prefer tp=1")
     args = ap.parse_args()
 
     if args.cpu:
+        if args.tp > 1:
+            # simulated multi-device CPU mesh (must precede backend init)
+            flags = os.environ.get("XLA_FLAGS", "")
+            if "xla_force_host_platform_device_count" not in flags:
+                os.environ["XLA_FLAGS"] = (
+                    flags + f" --xla_force_host_platform_device_count={args.tp}"
+                ).strip()
         jax.config.update("jax_platforms", "cpu")
 
     from echo_tts_tpu.core.config import AEConfig, DiTConfig, PipelineConfig
@@ -78,6 +90,21 @@ def main():
             args.ae, dtype=jnp.bfloat16 if args.ae_bf16 else jnp.float32)
         tts = EchoTTS(dit_params, dit_cfg, ae_params, ae_cfg,
                       PCAState.from_safetensors(args.pca))
+
+    if args.tp > 1:
+        import dataclasses
+
+        from echo_tts_tpu.core.config import MeshConfig
+        from echo_tts_tpu.models.dit import set_attention_tp
+        from echo_tts_tpu.parallel.mesh import make_mesh
+        from echo_tts_tpu.parallel.sharding import shard_params
+
+        mesh = make_mesh(MeshConfig(dp=1, tp=args.tp),
+                         devices=jax.devices()[:args.tp])
+        tts = dataclasses.replace(tts,
+                                  dit_params=shard_params(tts.dit_params, mesh))
+        set_attention_tp(mesh)  # shard_map the Pallas kernel over heads
+        print(f"DiT sharded tensor-parallel over {args.tp} devices")
 
     engine = Engine(tts, int8=args.int8, max_batch=args.max_batch,
                     batch_wait_ms=args.batch_wait_ms)
