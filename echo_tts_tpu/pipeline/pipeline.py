@@ -97,7 +97,6 @@ def sample_pipeline(
     The no-speaker fallback is a zero latent (1, 4, 80) with an all-false
     mask — NOT absence of the cache (reference: inference.py:375-381).
     """
-    pc = tts.pipe_cfg
     sc = sc or SamplerConfig()
     (ids, text_mask, normalized, speaker_latent, speaker_mask,
      timings) = _prepare_inputs(
