@@ -32,6 +32,18 @@ def param_pspecs(params: Any) -> Any:
     def spec(path, leaf):
         name = _path_leaf_name(path)
         names = [_path_leaf_name((p,)) for p in path]
+        if name in ("q", "s") and len(path) >= 2:
+            # int8-quantized leaf (models/quant.py {"q","s"} dict): shard by
+            # the ORIGINAL weight's name one level up. q keeps the weight's
+            # (L, K, N) shape; s is the per-output-channel scale (L, N)
+            wname = _path_leaf_name(path[:-1])
+            if wname in _COL and leaf.ndim >= 2:
+                return (P(None, None, "tp") if name == "q"
+                        else P(None, "tp"))       # s follows the N split
+            if wname in _ROW and leaf.ndim >= 2:
+                return (P(None, "tp", None) if name == "q"
+                        else P())                 # s is over N: replicate
+            return P()
         if name in _COL and leaf.ndim == 3:
             return P(None, None, "tp")
         if name in _ROW and leaf.ndim == 3:

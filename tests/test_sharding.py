@@ -136,3 +136,32 @@ def test_tp_shard_map_pallas_attention(inputs):
         dit_mod.set_attention_tp(None)
     np.testing.assert_allclose(np.asarray(out_s), np.asarray(ref_s),
                                atol=1e-5, rtol=1e-4)
+
+
+def test_tp_shards_int8_quantized_leaves(inputs):
+    """int8-quantized weights ({"q","s"} dicts, models/quant.py) shard under
+    TP by their original weight's name — without this they silently
+    replicate and tp>1 loses the HBM split on the very GEMMs int8 targets."""
+    from echo_tts_tpu.models.quant import is_quantized, quantize_dit_params
+
+    params, x, t, ids, tmask, spk, smask, _ = inputs
+    qp = jax.jit(quantize_dit_params)(params)
+    ref = dit_forward(qp, CFG, x, t, tmask, smask,
+                      get_kv_cache_text(qp, CFG, ids, tmask),
+                      get_kv_cache_speaker(qp, CFG, spk), attn_impl="xla")
+
+    mesh = make_mesh(MeshConfig(dp=2, tp=2))
+    sp = shard_params(qp, mesh)
+    wq = sp["blocks"]["attention"]["wq"]
+    assert is_quantized(wq)
+    # column-sharded: q split on its last (output) axis, s on its N axis
+    assert wq["q"].sharding.spec == P(None, None, "tp")
+    assert wq["s"].sharding.spec == P(None, "tp")
+    w2 = sp["blocks"]["mlp"]["w2"]
+    assert w2["q"].sharding.spec == P(None, "tp", None)  # row-sharded K
+
+    out = dit_forward(sp, CFG, x, t, tmask, smask,
+                      get_kv_cache_text(sp, CFG, ids, tmask),
+                      get_kv_cache_speaker(sp, CFG, spk), attn_impl="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-4)
