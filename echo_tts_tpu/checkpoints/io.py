@@ -151,8 +151,71 @@ def maybe_hf_download(repo_id: str, filename: str, token: Optional[str] = None) 
     try:
         from huggingface_hub import hf_hub_download
     except ImportError as e:  # pragma: no cover
-        raise RuntimeError("huggingface_hub not installed") from e
+        raise RuntimeError(
+            "huggingface_hub is not installed — install it, or download the "
+            "safetensors manually and use load_dit_from_safetensors / "
+            "load_ae_from_safetensors") from e
     return hf_hub_download(repo_id, filename, token=token)
+
+
+def load_model_from_hf(
+    repo_id: str = "jordand/echo-tts-base",
+    dtype=jnp.bfloat16,
+    token: Optional[str] = None,
+    delete_blockwise_modules: bool = False,
+) -> Tuple[dict, DiTConfig]:
+    """Hub entry point mirroring the reference's `load_model_from_hf`
+    (inference.py:14-69): repo id -> cached `pytorch_model.safetensors`
+    download -> converter with blockwise strip + dtype policy (default bf16,
+    matching the reference default). Returns (params, cfg)."""
+    path = maybe_hf_download(repo_id, "pytorch_model.safetensors", token=token)
+    return load_dit_from_safetensors(
+        path, dtype=dtype, delete_blockwise_modules=delete_blockwise_modules)
+
+
+def load_fish_ae_from_hf(
+    repo_id: str = "jordand/fish-s1-dac-min",
+    dtype=jnp.float32,
+    token: Optional[str] = None,
+) -> Tuple[dict, AEConfig]:
+    """reference: inference.py:80-105 (default fp32; pass bf16 for the
+    reference's low-VRAM mode, gradio_app.py:36-38). Weight-norm is folded
+    at conversion."""
+    path = maybe_hf_download(repo_id, "pytorch_model.safetensors", token=token)
+    return load_ae_from_safetensors(path, dtype=dtype)
+
+
+def load_pca_state_from_hf(
+    repo_id: str = "jordand/echo-tts-base",
+    filename: str = "pca_state.safetensors",
+    token: Optional[str] = None,
+):
+    """reference: inference.py:123-135. Returns a models.pca.PCAState."""
+    from echo_tts_tpu.models.pca import PCAState
+
+    return PCAState.from_safetensors(
+        maybe_hf_download(repo_id, filename, token=token))
+
+
+def load_tts_from_hf(
+    model_repo: str = "jordand/echo-tts-base",
+    ae_repo: str = "jordand/fish-s1-dac-min",
+    dit_dtype=jnp.bfloat16,
+    ae_dtype=jnp.float32,
+    token: Optional[str] = None,
+    delete_blockwise_modules: bool = False,
+):
+    """One-call deployment loader: the three reference HF entry points
+    (inference.py:14-135) composed into a ready pipeline.EchoTTS."""
+    from echo_tts_tpu.pipeline.pipeline import EchoTTS
+
+    dit_params, dit_cfg = load_model_from_hf(
+        model_repo, dtype=dit_dtype, token=token,
+        delete_blockwise_modules=delete_blockwise_modules)
+    ae_params, ae_cfg = load_fish_ae_from_hf(ae_repo, dtype=ae_dtype, token=token)
+    pca = load_pca_state_from_hf(model_repo, token=token)
+    return EchoTTS(dit_params, dit_cfg, ae_params, ae_cfg, pca,
+                   model_dtype=dit_dtype)
 
 
 def load_pytree_sharded(path: str, mesh, dtype=None) -> Any:

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import ctypes
 import ctypes.util
+import threading
 from typing import Optional, Tuple
 
 import numpy as np
@@ -30,9 +31,20 @@ _MP3_RATES = (8000, 11025, 12000, 16000, 22050, 24000, 32000, 44100, 48000)
 
 _mpg123 = None
 _lame = None
+# double-checked init lock: dataset io_workers threads can race the first
+# decode, and mpg123_init must run exactly once before any handle exists
+_init_lock = threading.Lock()
 
 
 def _load_mpg123():
+    global _mpg123
+    if _mpg123 is not None:
+        return _mpg123 or None
+    with _init_lock:
+        return _load_mpg123_locked()
+
+
+def _load_mpg123_locked():
     global _mpg123
     if _mpg123 is not None:
         return _mpg123 or None
@@ -68,6 +80,14 @@ def _load_mpg123():
 
 
 def _load_lame():
+    global _lame
+    if _lame is not None:
+        return _lame or None
+    with _init_lock:
+        return _load_lame_locked()
+
+
+def _load_lame_locked():
     global _lame
     if _lame is not None:
         return _lame or None

@@ -36,13 +36,20 @@ def param_pspecs(params: Any) -> Any:
             # int8-quantized leaf (models/quant.py {"q","s"} dict): shard by
             # the ORIGINAL weight's name one level up. q keeps the weight's
             # (L, K, N) shape; s is the per-output-channel scale (L, N)
+            # specs are written for the stacked convention only: q is
+            # (L, K, N), s is (L, N) — guard rank exactly so a hypothetical
+            # unstacked 2-D quantized weight falls through to replicate
+            # instead of getting a rank-mismatched spec
             wname = _path_leaf_name(path[:-1])
-            if wname in _COL and leaf.ndim >= 2:
-                return (P(None, None, "tp") if name == "q"
-                        else P(None, "tp"))       # s follows the N split
-            if wname in _ROW and leaf.ndim >= 2:
-                return (P(None, "tp", None) if name == "q"
-                        else P())                 # s is over N: replicate
+            if wname in _COL:
+                if name == "q" and leaf.ndim == 3:
+                    return P(None, None, "tp")
+                if name == "s" and leaf.ndim == 2:
+                    return P(None, "tp")          # s follows the N split
+            if wname in _ROW:
+                if name == "q" and leaf.ndim == 3:
+                    return P(None, "tp", None)
+                # s is over N: replicate
             return P()
         if name in _COL and leaf.ndim == 3:
             return P(None, None, "tp")

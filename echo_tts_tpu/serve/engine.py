@@ -81,7 +81,8 @@ class _PendingRequest:
 class Engine:
     def __init__(self, tts: EchoTTS, max_retries: int = 1, int8: bool = False,
                  int8_encoders: bool = False, max_batch: int = 1,
-                 batch_wait_ms: float = 10.0, speaker_cache_size: int = 8):
+                 batch_wait_ms: float = 10.0, speaker_cache_size: int = 8,
+                 mesh=None):
         """int8: opt-in W8A8 trunk quantization (models/quant.py) — applied
         to the effective params after any LoRA merge; the bf16 base stays
         resident for future merges. ~1.34x serving throughput (BASELINE.md)
@@ -103,12 +104,19 @@ class Engine:
         speaker_cache_size: LRU entries of encoded speaker conditioning
         (content-hash keyed) — repeat prompts from the same voice skip the
         chunked AE encode (~0.5 s for a 5-min reference). 0 disables.
+
+        mesh: optional tensor-parallel jax.sharding.Mesh. When set, every
+        effective-params tree (base, post-LoRA-merge, post-quantization) is
+        re-placed with the explicit parallel.sharding.param_pspecs specs, so
+        int8 {"q","s"} leaves get their declared TP split rather than
+        whatever GSPMD propagation picked inside the quantize jit.
         """
         import dataclasses
 
         self._base_params = tts.dit_params
         self.int8 = int8 or int8_encoders
         self.int8_encoders = int8_encoders
+        self._mesh = mesh
         # own copy of the container: quantization / LoRA swaps must never
         # leak into the caller's EchoTTS (another Engine or a training path
         # may hold the same instance)
@@ -143,14 +151,18 @@ class Engine:
             self._dispatcher.join(timeout=5)
 
     def _effective(self, params):
-        if not self.int8:
-            return params
-        import jax
+        if self.int8:
+            import jax
 
-        from echo_tts_tpu.models.quant import quantize_dit_params
+            from echo_tts_tpu.models.quant import quantize_dit_params
 
-        return jax.jit(lambda p: quantize_dit_params(
-            p, encoders=self.int8_encoders))(params)
+            params = jax.jit(lambda p: quantize_dit_params(
+                p, encoders=self.int8_encoders))(params)
+        if self._mesh is not None:
+            from echo_tts_tpu.parallel.sharding import shard_params
+
+            params = shard_params(params, self._mesh)
+        return params
 
     # -- LoRA hot-swap (reference: gradio_app.py:169-226) -------------------
     def set_lora(self, lora_path: Optional[str], strength: float = 1.0) -> None:
@@ -203,9 +215,11 @@ class Engine:
                 return audio, normalized, timings
             except Exception as e:  # pragma: no cover - device-failure path
                 last_err = e
-                self.stats["retries"] += 1
+                with self._lock:
+                    self.stats["retries"] += 1
                 log.warning("generate attempt %d failed: %s", attempt, e)
-        self.stats["failures"] += 1
+        with self._lock:
+            self.stats["failures"] += 1
         raise RuntimeError(f"generation failed after {self.max_retries + 1} attempts") from last_err
 
     # -- continuous micro-batching ------------------------------------------
@@ -313,9 +327,11 @@ class Engine:
                 return
             except Exception as e:  # pragma: no cover - device-failure path
                 last_err = e
-                self.stats["retries"] += 1
+                with self._lock:
+                    self.stats["retries"] += 1
                 log.warning("batched generate attempt %d failed: %s", attempt, e)
-        self.stats["failures"] += n
+        with self._lock:
+            self.stats["failures"] += n
         for r in batch:
             r.error = RuntimeError(
                 f"generation failed after {self.max_retries + 1} attempts")

@@ -168,25 +168,48 @@ def batches_prefetch(dataset: EchoTTSDataset, batch_size: int,
 
     q: "queue.Queue" = queue.Queue(maxsize=max(1, prefetch))
     _END = object()
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        # bounded put that gives up when the consumer is gone: without the
+        # stop check an abandoned generator (exception in the epoch loop)
+        # would leave this thread blocked on a full queue forever, pinning
+        # collated batches in memory
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def produce():
         try:
             for b in batches(dataset, batch_size, rng, **collate_kw):
-                q.put(b)
-            q.put(_END)
+                if not _put(b):
+                    return
+            _put(_END)
         except BaseException as e:  # surface producer errors to the consumer
-            q.put(e)
+            _put(e)
 
     t = threading.Thread(target=produce, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            break
-        if isinstance(item, BaseException):
-            raise item
-        yield item
-    t.join()
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        while not q.empty():  # unblock a producer mid-put
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
+        t.join(timeout=5)
 
 
 AUDIO_EXTENSIONS = (".wav", ".mp3", ".flac", ".ogg", ".m4a")
@@ -234,35 +257,63 @@ def _default_asr(model_name: str):
     return hf_pipeline("automatic-speech-recognition", model=model_name)  # pragma: no cover
 
 
+def _call_asr(asr, path: str, language: Optional[str]) -> str:
+    """Invoke an ASR callable, forwarding `language` only when it is accepted
+    (the reference passes it to whisper's transcribe, train_utils.py:572;
+    Parakeet ignores it, train_utils.py:642). Injected test/offline callables
+    that only take a path keep working."""
+    if language is not None:
+        try:
+            import inspect
+
+            sig = inspect.signature(asr)
+            accepts = ("language" in sig.parameters
+                       or any(p.kind == inspect.Parameter.VAR_KEYWORD
+                              for p in sig.parameters.values()))
+        except (TypeError, ValueError):  # builtins / C callables
+            accepts = False
+        if accepts:
+            return asr(path, language=language)["text"]
+    return asr(path)["text"]
+
+
 def transcribe_audio(audio_path: str, model_name: str = "openai/whisper-base",
-                     asr=None) -> str:
-    """Single-file Whisper transcription (reference: train_utils.py:551-622).
-    `asr` is an injectable callable path -> {"text": ...} for tests/offline."""
+                     language: Optional[str] = "en", asr=None) -> str:
+    """Single-file Whisper transcription (reference: train_utils.py:550-580).
+    `asr` is an injectable callable path -> {"text": ...} for tests/offline;
+    `language` is forwarded when the callable accepts it."""
     asr = asr or _default_asr(model_name)
-    return _tag_transcript(asr(audio_path)["text"])
+    return _tag_transcript(_call_asr(asr, audio_path, language))
 
 
 def transcribe_audio_files(audio_paths: List[str], model_name: str = "openai/whisper-base",
-                           asr=None, on_error: str = "collect") -> Dict[str, str]:
-    """Batch ASR (reference: train_utils.py:737-803). Per-file errors are
+                           language: Optional[str] = "en", asr=None,
+                           on_error: str = "collect",
+                           progress_every: int = 0) -> Dict[str, str]:
+    """Batch ASR (reference: train_utils.py:582-620). Per-file errors are
     collected and skipped (`on_error="collect"`, the reference behavior at
-    train_utils.py:715-733) or re-raised (`on_error="raise"`)."""
+    train_utils.py:715-733) or re-raised (`on_error="raise"`).
+    `progress_every` > 0 logs progress every N files."""
+    import logging
+
+    log_ = logging.getLogger("echo_tts_tpu.train")
     asr = asr or _default_asr(model_name)
     out: Dict[str, str] = {}
     errors: Dict[str, str] = {}
-    for p in audio_paths:
+    for i, p in enumerate(audio_paths):
         try:
-            text = _tag_transcript(asr(p)["text"])
+            text = _tag_transcript(_call_asr(asr, p, language))
             if text:
                 out[p] = text
         except Exception as e:
             if on_error == "raise":
                 raise
             errors[p] = str(e)
+        if progress_every > 0 and ((i + 1) % progress_every == 0
+                                   or i + 1 == len(audio_paths)):
+            log_.info("transcribed %d/%d files", i + 1, len(audio_paths))
     if errors:
-        import logging
-
-        logging.getLogger("echo_tts_tpu.train").warning(
+        log_.warning(
             "transcription failed for %d file(s): %s", len(errors),
             ", ".join(sorted(errors)))
     return out
@@ -270,14 +321,22 @@ def transcribe_audio_files(audio_paths: List[str], model_name: str = "openai/whi
 
 def transcribe_audio_files_parakeet(audio_paths: List[str],
                                     model_name: str = "nvidia/parakeet-ctc-1.1b",
+                                    language: Optional[str] = None,
+                                    batch_size: int = 8,
                                     asr=None) -> Dict[str, str]:
-    """Parakeet-CTC variant (reference: train_utils.py:625-734) — same
-    transformers pipeline surface, different default checkpoint."""
-    return transcribe_audio_files(audio_paths, model_name=model_name, asr=asr)
+    """Parakeet variant (reference: train_utils.py:625-734) — same
+    transformers pipeline surface, different default checkpoint. Mirroring
+    the reference: `language` is ignored (Parakeet auto-detects,
+    train_utils.py:642) and `batch_size` is the progress-update cadence
+    (train_utils.py:643, 724-725), not a device batch."""
+    return transcribe_audio_files(audio_paths, model_name=model_name,
+                                  language=None, asr=asr,
+                                  progress_every=batch_size)
 
 
 def transcribe_audio_files_parallel(audio_paths: List[str],
                                     model_name: str = "openai/whisper-base",
+                                    language: Optional[str] = "en",
                                     asr=None, num_workers: int = 4) -> Dict[str, str]:
     """Thread-parallel batch ASR (reference: train_utils.py:786-803). ASR
     decode is host-side and IO/compute-mixed; threads overlap file decode with
@@ -289,7 +348,7 @@ def transcribe_audio_files_parallel(audio_paths: List[str],
 
     def one(p):
         try:
-            return p, _tag_transcript(asr(p)["text"])
+            return p, _tag_transcript(_call_asr(asr, p, language))
         except Exception as e:
             import logging
 

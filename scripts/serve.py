@@ -91,6 +91,7 @@ def main():
         tts = EchoTTS(dit_params, dit_cfg, ae_params, ae_cfg,
                       PCAState.from_safetensors(args.pca))
 
+    mesh = None
     if args.tp > 1:
         import dataclasses
 
@@ -106,8 +107,10 @@ def main():
         set_attention_tp(mesh)  # shard_map the Pallas kernel over heads
         print(f"DiT sharded tensor-parallel over {args.tp} devices")
 
+    # mesh passed through: Engine re-shards the effective params after int8
+    # quantization / LoRA merges, so {"q","s"} leaves get the declared specs
     engine = Engine(tts, int8=args.int8, max_batch=args.max_batch,
-                    batch_wait_ms=args.batch_wait_ms)
+                    batch_wait_ms=args.batch_wait_ms, mesh=mesh)
     if args.warmup:
         from echo_tts_tpu.core.config import SamplerConfig as _SC
 

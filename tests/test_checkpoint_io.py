@@ -176,3 +176,76 @@ def test_convert_checkpoint_cli(tmp_path):
     assert "latent_encoder" not in tree
     assert tree["blocks"]["attention"]["wq"].shape == (
         DCFG.num_layers, DCFG.model_size, DCFG.model_size)
+
+def test_load_model_from_hf_monkeypatched(tmp_path, monkeypatch):
+    """HF-hub entry points (reference: inference.py:14-135) route repo ids
+    through hf_hub_download into the existing converters — exercised here
+    with a patched download landing tiny reference-format files in tmp."""
+    import huggingface_hub
+    from safetensors.torch import save_file
+    from safetensors.numpy import save_file as save_np
+
+    from echo_tts_tpu.checkpoints.io import (
+        load_fish_ae_from_hf, load_model_from_hf, load_pca_state_from_hf)
+    from test_s1dac_parity import build_torch_tiny_ae
+
+    tm = build_torch_dit(DCFG, seed=3)
+    dit_p = str(tmp_path / "dit" / "pytorch_model.safetensors")
+    (tmp_path / "dit").mkdir()
+    save_file({k: v.contiguous() for k, v in tm.state_dict().items()}, dit_p)
+    dac = build_torch_tiny_ae(ACFG, seed=4)
+    ae_p = str(tmp_path / "ae" / "pytorch_model.safetensors")
+    (tmp_path / "ae").mkdir()
+    save_file({k: v.contiguous() for k, v in dac.state_dict().items()}, ae_p)
+    pca_p = str(tmp_path / "dit" / "pca_state.safetensors")
+    save_np({"pca_components": np.eye(8, dtype=np.float32)[:4],
+             "pca_mean": np.zeros(8, np.float32),
+             "latent_scale": np.asarray(2.5, np.float32)}, pca_p)
+
+    calls = []
+
+    def fake_download(repo_id, filename, token=None):
+        calls.append((repo_id, filename, token))
+        base = tmp_path / ("dit" if repo_id == "test/dit" else "ae")
+        return str(base / filename)
+
+    monkeypatch.setattr(huggingface_hub, "hf_hub_download", fake_download)
+
+    params, cfg = load_model_from_hf("test/dit", dtype=jnp.float32,
+                                     delete_blockwise_modules=True)
+    assert "latent_encoder" not in params and not cfg.has_latent_modules
+    assert params["blocks"]["attention"]["wq"].dtype == jnp.float32
+
+    ae_params, ae_cfg = load_fish_ae_from_hf("test/ae")
+    ref_w = dac.encoder.block[0].conv.weight.detach().numpy()
+    np.testing.assert_allclose(np.asarray(ae_params["encoder"]["stem"]["w"]),
+                               ref_w, atol=1e-6)
+
+    pca = load_pca_state_from_hf("test/dit")
+    assert pca.latent_scale == 2.5
+    assert calls == [("test/dit", "pytorch_model.safetensors", None),
+                     ("test/ae", "pytorch_model.safetensors", None),
+                     ("test/dit", "pca_state.safetensors", None)]
+
+
+def test_hf_download_graceful_without_package(monkeypatch):
+    """Zero-egress / package-less environments get a clear error, not an
+    ImportError mid-convert."""
+    import builtins
+    import sys
+
+    import pytest
+
+    from echo_tts_tpu.checkpoints.io import maybe_hf_download
+
+    real_import = builtins.__import__
+
+    def no_hf(name, *a, **k):
+        if name == "huggingface_hub":
+            raise ImportError("nope")
+        return real_import(name, *a, **k)
+
+    monkeypatch.delitem(sys.modules, "huggingface_hub", raising=False)
+    monkeypatch.setattr(builtins, "__import__", no_hf)
+    with pytest.raises(RuntimeError, match="huggingface_hub is not installed"):
+        maybe_hf_download("x/y", "f.safetensors")

@@ -146,3 +146,67 @@ def test_prepare_samples_transcribe_missing(tmp_path):
     texts = {s.audio_path: s.text for s in samples}
     assert texts[str(tmp_path / "s0.wav")] == "[S1] provided"
     assert texts[str(tmp_path / "s1.wav")] == "[S1] hello from s1"
+
+
+def test_transcription_language_forwarding(tmp_path):
+    """`language` reaches ASR callables that accept it (reference whisper
+    surface, train_utils.py:550-580) and is silently dropped for path-only
+    callables; the parakeet wrapper never forwards it (train_utils.py:642)."""
+    from echo_tts_tpu.train.data import (
+        transcribe_audio,
+        transcribe_audio_files,
+        transcribe_audio_files_parakeet,
+    )
+
+    seen = []
+
+    def asr_lang(path, language=None):
+        seen.append(language)
+        return {"text": "hi"}
+
+    p = str(tmp_path / "a.wav")
+    assert transcribe_audio(p, language="de", asr=asr_lang) == "[S1] hi"
+    assert seen == ["de"]
+    transcribe_audio_files([p], language="fr", asr=asr_lang)
+    assert seen[-1] == "fr"
+    # default language is en
+    transcribe_audio_files([p], asr=asr_lang)
+    assert seen[-1] == "en"
+    # parakeet: language ignored, batch_size is a progress cadence
+    transcribe_audio_files_parakeet([p], language="de", batch_size=1,
+                                    asr=asr_lang)
+    assert seen[-1] is None
+    # path-only callables still work with a language set
+    assert transcribe_audio(p, language="en", asr=_FakeASR()).startswith("[S1]")
+
+
+def test_batches_prefetch_abandoned_consumer(tmp_path, tiny_tts):  # noqa: F811
+    """Closing the generator early (exception in the epoch loop) must stop
+    the producer thread — a blocked q.put would pin batches in memory for
+    the rest of the process."""
+    import threading
+
+    from echo_tts_tpu.train.data import batches_prefetch
+
+    _, _, tts = tiny_tts
+    sr = tts.ae_cfg.sample_rate
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(8):
+        p = str(tmp_path / f"s{i}.wav")
+        n = tts.ae_cfg.frame_length * 12
+        write_wav(p, (0.2 * rng.standard_normal(n)).astype(np.float32)[None], sr)
+        paths.append(p)
+    ds = EchoTTSDataset([TrainingSample(p, "[S1] t") for p in paths],
+                        tts.ae_params, tts.ae_cfg, tts.pca,
+                        max_latent_length=16, io_workers=0)
+
+    before = threading.active_count()
+    gen = batches_prefetch(ds, 1, np.random.default_rng(1), prefetch=1,
+                           max_text_length=32)
+    next(gen)  # producer running, queue full behind us
+    gen.close()  # GeneratorExit -> finally -> stop + drain + join
+    deadline = __import__("time").monotonic() + 5
+    while threading.active_count() > before and __import__("time").monotonic() < deadline:
+        __import__("time").sleep(0.02)
+    assert threading.active_count() <= before

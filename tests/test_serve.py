@@ -402,3 +402,32 @@ def test_text_presets_parsing_and_endpoint(engine, tmp_path):
         assert got == rows
     finally:
         httpd.shutdown()
+
+
+def test_engine_mesh_reshards_int8_leaves(tiny_tts):  # noqa: F811
+    """Engine(mesh=...) re-places the effective params with the declared TP
+    specs AFTER int8 quantization, so {"q","s"} leaves land on their
+    param_pspecs shardings instead of GSPMD propagation (the serve.py
+    --tp --int8 composition)."""
+    import dataclasses
+
+    from jax.sharding import PartitionSpec as P
+
+    from echo_tts_tpu.core.config import MeshConfig
+    from echo_tts_tpu.models.quant import is_quantized
+    from echo_tts_tpu.parallel.mesh import make_mesh
+
+    _, _, tts = tiny_tts
+    mesh = make_mesh(MeshConfig(dp=1, tp=2), devices=jax.devices()[:2])
+    eng = Engine(dataclasses.replace(tts), int8=True, mesh=mesh)
+    wq = eng.tts.dit_params["blocks"]["attention"]["wq"]
+    assert is_quantized(wq)
+    assert wq["q"].sharding.spec == P(None, None, "tp")
+    assert wq["s"].sharding.spec == P(None, "tp")
+    w2 = eng.tts.dit_params["blocks"]["mlp"]["w2"]
+    assert w2["q"].sharding.spec == P(None, "tp", None)
+
+    # swap + revert keeps the placement discipline
+    eng.set_lora(None)
+    assert eng.tts.dit_params["blocks"]["attention"]["wq"][
+        "q"].sharding.spec == P(None, None, "tp")
