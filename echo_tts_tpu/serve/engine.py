@@ -348,15 +348,78 @@ class Engine:
         #   block cuts time-to-first-audio (pipeline._block_schedule)
         normalize_text: bool = True,
         continuation_audio: Optional[np.ndarray] = None,
+        buffer_chunks: int = 256,
     ):
         """Yields fp32 waveform chunks (1, 1, n) as latent blocks complete
-        (pipeline.sample_pipeline_stream). Holds the device lock for the
-        whole stream — one streaming request at a time, matching the
-        single-writer discipline above. `continuation_audio` seeds the
-        blockwise prefix (its transcript must be part of `text`)."""
-        from echo_tts_tpu.pipeline.pipeline import sample_pipeline_stream
+        (pipeline.sample_pipeline_stream). Device work runs on a worker
+        thread under the device lock and hands chunks to this generator
+        through a bounded queue, so a slow consumer (stalled client socket)
+        never back-pressures the lock: it is released the moment the last
+        block is sampled, and other requests proceed while the buffered
+        stream drains. `buffer_chunks` bounds the buffered audio (256 blocks
+        is > 2 minutes — far past the 640-latent cap — so in practice the
+        device never blocks on the handoff; a pathological overrun blocks
+        the worker, bounding memory). Closing this generator (client
+        disconnect) stops the worker and ends device work at the next block
+        boundary. `continuation_audio` seeds the blockwise prefix (its
+        transcript must be part of `text`)."""
+        import queue as _queue
 
         sc = sc or SamplerConfig()
+        q: "_queue.Queue" = _queue.Queue(maxsize=max(1, buffer_chunks))
+        _END = object()
+        gone = threading.Event()  # consumer abandoned the stream
+
+        def handoff(item) -> bool:
+            while not gone.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except _queue.Full:
+                    continue
+            return False
+
+        def work():
+            gen = self._stream_device_locked(
+                text, speaker_audio, seed, sc, block_size,
+                normalize_text, continuation_audio, gone)
+            try:
+                for chunk in gen:
+                    if not handoff(chunk):
+                        return
+                handoff(_END)
+            except BaseException as e:
+                handoff(e)
+            finally:
+                gen.close()  # release the device lock deterministically
+
+        t = threading.Thread(target=work, daemon=True,
+                             name="echo-tts-stream-worker")
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            gone.set()
+            while not q.empty():  # unblock a worker mid-handoff
+                try:
+                    q.get_nowait()
+                except _queue.Empty:
+                    break
+
+    def _stream_device_locked(self, text, speaker_audio, seed, sc, block_size,
+                              normalize_text, continuation_audio, gone):
+        """Device side of generate_stream: the blockwise sampler + causal
+        decode under the device lock (single-writer discipline). Checks
+        `gone` between blocks so an abandoned stream stops paying for
+        sampling."""
+        from echo_tts_tpu.pipeline.pipeline import sample_pipeline_stream
+
         with self._lock:
             t0 = time.perf_counter()
             n_samples = 0
@@ -369,10 +432,12 @@ class Engine:
                         speaker_cache=self._speaker_cache):
                     n_samples += chunk.shape[-1]
                     yield chunk
+                    if gone.is_set():
+                        return
                 done = True
             finally:
                 # count the request even when the client disconnects
-                # mid-stream (GeneratorExit) or the device errors out
+                # mid-stream or the device errors out; stats under the lock
                 self.stats["requests"] += 1
                 if not done:
                     self.stats["failures"] += 1

@@ -431,3 +431,56 @@ def test_engine_mesh_reshards_int8_leaves(tiny_tts):  # noqa: F811
     eng.set_lora(None)
     assert eng.tts.dit_params["blocks"]["attention"]["wq"][
         "q"].sharding.spec == P(None, None, "tp")
+
+
+def test_stream_lock_released_while_slow_reader_drains(tiny_tts):  # noqa: F811
+    """generate_stream's device work must decouple from consumer speed: once
+    the last block is sampled the device lock frees, so a second request
+    completes while a slow reader is still draining buffered chunks. (With
+    lock-held-for-the-stream semantics this test deadlocks.)"""
+    import dataclasses
+    import threading
+    import time as _time
+
+    _, _, tts = tiny_tts
+    eng = Engine(dataclasses.replace(tts))
+    gen = eng.generate_stream("Slow reader test.", None, seed=1, sc=SC,
+                              block_size=8)
+    first = next(gen)  # device work running; do NOT drain further
+    assert first.shape[0] == 1
+
+    result = {}
+
+    def second():
+        result["audio"] = eng.generate("Concurrent.", None, seed=2, sc=SC)[0]
+
+    t = threading.Thread(target=second, daemon=True)
+    t.start()
+    t.join(timeout=120)
+    assert "audio" in result, "second request blocked behind undrained stream"
+    assert np.isfinite(result["audio"]).all()
+
+    rest = list(gen)  # drain: remaining buffered chunks still intact
+    total = first.shape[-1] + sum(c.shape[-1] for c in rest)
+    assert total > 0
+    # stream accounted exactly once in stats
+    deadline = _time.monotonic() + 5
+    while eng.health()["requests"] < 2 and _time.monotonic() < deadline:
+        _time.sleep(0.02)
+    assert eng.health()["requests"] == 2
+
+
+def test_stream_close_stops_device_work(tiny_tts):  # noqa: F811
+    """Closing the stream generator (client disconnect) ends device work at
+    the next block boundary and releases the lock."""
+    import dataclasses
+
+    _, _, tts = tiny_tts
+    eng = Engine(dataclasses.replace(tts))
+    gen = eng.generate_stream("Disconnect test.", None, seed=3, sc=SC,
+                              block_size=8)
+    next(gen)
+    gen.close()
+    # lock must be (or become) free; a follow-up request succeeds
+    audio, _, _ = eng.generate("After disconnect.", None, seed=4, sc=SC)
+    assert np.isfinite(audio).all()
