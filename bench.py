@@ -109,25 +109,22 @@ def main():
         np.asarray(x[(0,) * (x.ndim - 1) + (slice(0, 1),)])
 
     if blockwise:
-        # interleaved streaming: sample block i, decode+emit it, sample i+1 —
-        # the serving form (pipeline.sample_pipeline_stream); reports
+        # interleaved streaming: ONE fused executable per block (sample +
+        # deproject + STATEFUL vocoder step — pipeline.stream_blocks_fused;
+        # the carried decoder state makes vocoder cost O(block), vs the
+        # round-2 receptive-field re-decode at ~17x redundant work). Reports
         # time-to-first-audio alongside throughput. --blocks 64,192 uses a
         # small first block for TTFA (last entry repeats to fill 640).
-        from echo_tts_tpu.models import pca as _pca_mod
-        from echo_tts_tpu.models.s1dac import decode_zq_window
-        from echo_tts_tpu.pipeline.pipeline import _block_schedule
-        from echo_tts_tpu.sampling.blockwise import sample_blockwise_stream
+        from echo_tts_tpu.pipeline.pipeline import (
+            _block_schedule,
+            stream_blocks_fused,
+        )
         blocks = (160, 160, 160, 160)
         if "--blocks" in sys.argv:
             spec = [int(x) for x in
                     sys.argv[sys.argv.index("--blocks") + 1].split(",")]
             blocks = tuple(_block_schedule(spec, SEQ))
         ttfa = []
-
-        def _decode_window(prefix, start, bs):
-            z_q = _pca_mod.deproject(pca, prefix[:, :start + bs]).astype(jnp.bfloat16)
-            return decode_zq_window(ae_params, ae_cfg, z_q, start, start + bs)
-
         last_audio = {}
 
         def sample(noise_i):
@@ -137,11 +134,10 @@ def main():
                 off += bs
             t0 = time.time()
             chunks, lat = [], None
-            for prefix, start, bs in sample_blockwise_stream(
-                    dit_params, dit_cfg, sc, speaker_latent, speaker_mask,
-                    ids, text_mask, blocks, noises=noises,
-                    model_dtype=jnp.bfloat16):
-                chunk = _decode_window(prefix, start, bs)
+            for prefix, chunk, start, bs in stream_blocks_fused(
+                    dit_params, dit_cfg, sc, ae_params, ae_cfg, pca,
+                    speaker_latent, speaker_mask, ids, text_mask,
+                    blocks, noises, jnp.bfloat16):
                 force(chunk)
                 if not chunks:
                     ttfa.append(time.time() - t0)

@@ -180,6 +180,127 @@ def get_kv_cache_latent(params: dict, cfg: DiTConfig, prefix_latent):
 
 
 # ---------------------------------------------------------------------------
+# Incremental latent-prefix KV (blockwise streaming)
+# ---------------------------------------------------------------------------
+#
+# The latent encoder is CAUSAL (a second SpeakerEncoder instance,
+# reference model.py:429-469), so the blockwise sampler does not need to
+# re-encode the whole prefix per block (the reference does:
+# inference_blockwise.py:72-74). Instead: preallocated device-resident
+# buffers — per-encoder-layer self-attention KV plus the trunk's per-layer
+# cross KV — are appended into with dynamic_update_slice as blocks complete.
+# Per-block cost is O(block), not O(prefix); not-yet-written positions hold
+# zeros and are inert via the `latent_pos < start_pos` mask
+# (reference model.py:243-244) in the sampler and the `kv <= q` mask here.
+
+
+def init_latent_kv_state(params: dict, cfg: DiTConfig, batch: int,
+                         total_len: int, dtype) -> dict:
+    """Zero incremental-KV state for a blockwise run of `total_len` latents.
+
+    enc_kv: the latent ENCODER's per-layer self-attention KV over patch
+    positions — (L_enc, B, T_pat, H_enc, Dh_enc) stacked for lax.scan.
+    kv: the TRUNK's latent cross-attention cache — (L, B, H, T_pat, Dh),
+    the same head-major layout get_kv_cache_latent returns."""
+    n_pat = total_len // cfg.speaker_patch_size
+    le = cfg.speaker_num_layers
+    he, dhe = cfg.speaker_num_heads, cfg.speaker_head_dim
+    return {
+        "enc_k": jnp.zeros((le, batch, n_pat, he, dhe), dtype),
+        "enc_v": jnp.zeros((le, batch, n_pat, he, dhe), dtype),
+        "k": jnp.zeros((cfg.num_layers, batch, cfg.num_heads, n_pat,
+                        cfg.head_dim), dtype),
+        "v": jnp.zeros((cfg.num_layers, batch, cfg.num_heads, n_pat,
+                        cfg.head_dim), dtype),
+    }
+
+
+def extend_latent_kv(params: dict, cfg: DiTConfig, state: dict,
+                     new_latent: jnp.ndarray, start_pos) -> dict:
+    """Append `new_latent` (B, n*patch, latent_size — latents
+    [start_pos, start_pos + n*patch), model dtype) into the incremental KV
+    state. Exact vs a full re-encode: the encoder is causal and attention
+    over the zero-masked tail adds exact zeros."""
+    enc = params["latent_encoder"]
+    p = cfg.speaker_patch_size
+    b, s_lat, d_lat = new_latent.shape
+    n = s_lat // p
+    eps = cfg.norm_eps
+    heads, hd = cfg.speaker_num_heads, cfg.speaker_head_dim
+    d = cfg.speaker_model_size
+    t_pat = state["enc_k"].shape[2]
+    pos_pat = start_pos // p
+
+    x = new_latent.reshape(b, n, d_lat * p) @ enc["in_proj"]["w"] + enc["in_proj"]["b"]
+    x = x / 6.0
+
+    cos_full, sin_full = precompute_rope(hd, t_pat)
+    cos = jax.lax.dynamic_slice_in_dim(cos_full, pos_pat, n, axis=0)
+    sin = jax.lax.dynamic_slice_in_dim(sin_full, pos_pat, n, axis=0)
+    # causal mask over the full buffer: query at absolute patch pos_pat + i
+    # sees kv positions <= it; unwritten tail (zeros) is masked out
+    q_pos = pos_pat + jnp.arange(n)[:, None]
+    kv_pos = jnp.arange(t_pat)[None, :]
+    mask = kv_pos <= q_pos  # (n, t_pat)
+
+    def body(x, per):
+        a = per["p"]["attention"]
+        h = rms_norm(x, per["p"]["attention_norm"], eps)
+        q, k, v, gate = quant.proj_shared(h, [a["wq"], a["wk"], a["wv"], a["gate"]])
+        q = rms_norm(q.reshape(b, n, heads, hd), a["q_norm"], eps)
+        k = rms_norm(k.reshape(b, n, heads, hd), a["k_norm"], eps)
+        v = v.reshape(b, n, heads, hd)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        kbuf = jax.lax.dynamic_update_slice(
+            per["k"], k.astype(per["k"].dtype), (0, pos_pat, 0, 0))
+        vbuf = jax.lax.dynamic_update_slice(
+            per["v"], v.astype(per["v"].dtype), (0, pos_pat, 0, 0))
+        logits = jnp.einsum("bnhd,bthd->bhnt", q, kbuf,
+                            preferred_element_type=jnp.float32)
+        logits = logits / jnp.sqrt(jnp.float32(hd))
+        logits = jnp.where(mask[None, None], logits, jnp.float32(-1e30))
+        w = jax.nn.softmax(logits, axis=-1).astype(vbuf.dtype)
+        o = jnp.einsum("bhnt,bthd->bnhd", w, vbuf,
+                       preferred_element_type=jnp.float32).astype(vbuf.dtype)
+        o = o.reshape(b, n, d) * jax.nn.sigmoid(gate)
+        x = x + quant.mm(o, a["wo"])
+        h = rms_norm(x, per["p"]["mlp_norm"], eps)
+        x = x + quant.swiglu_mlp_q(h, per["p"]["mlp"])
+        return x, (kbuf, vbuf)
+
+    per = {"p": enc["blocks"], "k": state["enc_k"], "v": state["enc_v"]}
+    x, (enc_k, enc_v) = jax.lax.scan(body, x, per)
+
+    # trunk cross-KV for the new positions (get_kv_cache_latent semantics:
+    # latent_norm, per-layer wk/wv_latent + k_norm, half-head RoPE at
+    # positions (pos_pat + i) * patch_size — reference model.py:623-636)
+    x = rms_norm(x, params["latent_norm"], eps)
+    cos_q, sin_q = precompute_rope(cfg.head_dim, t_pat * p)
+    idx = (pos_pat + jnp.arange(n)) * p
+    cos_l = jnp.take(cos_q, idx, axis=0)
+    sin_l = jnp.take(sin_q, idx, axis=0)
+    attn = params["blocks"]["attention"]
+
+    def proj(_, a):
+        k, v = quant.proj_shared(x, [a["wk_latent"], a["wv_latent"]])
+        k = k.reshape(b, n, cfg.num_heads, cfg.head_dim)
+        v = v.reshape(b, n, cfg.num_heads, cfg.head_dim)
+        k = rms_norm(k, a["k_norm"], cfg.norm_eps)
+        k = apply_rope_half_heads(k, cos_l, sin_l)
+        return None, (k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3))
+
+    sub = {"wk_latent": attn["wk_latent"], "wv_latent": attn["wv_latent"],
+           "k_norm": attn["k_norm"]}
+    _, (ks, vs) = jax.lax.scan(proj, None, sub)
+    k_cache = jax.lax.dynamic_update_slice(
+        state["k"], ks.astype(state["k"].dtype), (0, 0, 0, pos_pat, 0))
+    v_cache = jax.lax.dynamic_update_slice(
+        state["v"], vs.astype(state["v"].dtype), (0, 0, 0, pos_pat, 0))
+    return {"enc_k": enc_k, "enc_v": enc_v, "k": k_cache, "v": v_cache}
+
+
+# ---------------------------------------------------------------------------
 # DiT trunk forward
 # ---------------------------------------------------------------------------
 #

@@ -638,6 +638,252 @@ def decode_zq_window(params: dict, cfg: AEConfig, z_q: jnp.ndarray,
     return audio[:, :, -(end - start) * cfg.frame_length:]
 
 
+# ---------------------------------------------------------------------------
+# Stateful streaming decode (carried per-stage state)
+# ---------------------------------------------------------------------------
+#
+# decode_zq_window re-decodes the full receptive field (~q_n_layer*(window-1)
+# + conv-tail ≈ 1080 z_q frames) per chunk — ~17x redundant vocoder work per
+# 64-frame chunk, the dominant streaming inefficiency. The stateful path
+# instead carries:
+#   * a sliding KV window (window-1 positions, per post_module layer) — the
+#     transformer's entire reach, exact by causality (per-position activations
+#     of a causal stack never change once computed);
+#   * per-stage INPUT tails for every conv/ConvNeXt/tconv stage, each sized
+#     to that stage's own receptive extent. Zero-initialized tails reproduce
+#     each stage's causal left-pad bit-for-bit at the stream start, because a
+#     single conv's pre-sequence contribution is exactly zeros;
+#   * per-chain tails for the residual-unit chains (multi-conv stages):
+#     [tail | chunk] is processed with rows-below-ctx re-zeroed after every
+#     unit when the stream starts (each conv's OWN input is zero-padded in
+#     the reference, autoencoder.py:285-289) and left live mid-stream —
+#     the same first-tile trick the fused Pallas kernel already uses
+#     (ops/pallas_conv.py:_res_chain_kernel).
+# Each step's outputs equal the corresponding slice of the full decode; the
+# per-chunk cost is O(chunk), not O(receptive field).
+
+
+def _conv_stream_cl(x_cl, tail_cl, w, b, *, kernel_size: int, dilation: int = 1):
+    """Stride-1 causal conv (channels-last) with a carried input tail of
+    (k-1)*dilation rows. Processes [tail | x] with the standard internal
+    left-pad and crops — the crop absorbs the pad, kept rows are exact."""
+    ctx = (kernel_size - 1) * dilation
+    xw = jnp.concatenate([tail_cl, x_cl], axis=1)
+    y = _causal_conv_shifted_cl(xw, w, b, kernel_size=kernel_size,
+                                dilation=dilation)
+    return y[:, ctx:], xw[:, -ctx:]
+
+
+def _tconv_stream_cl(x_cl, tail_cl, w, b, *, kernel_size: int, stride: int):
+    """Causal transposed conv (channels-last) with a carried input tail of
+    ceil(k/s)-1 frames. Output rows [j*s, (j+1)*s) depend only on inputs
+    {j - m, ..., j} (m = ceil(k/s) - 1), so the window covers them exactly;
+    a zero tail contributes exact zeros (tconv taps are linear, bias is
+    per-output), matching the absent pre-sequence inputs."""
+    m = -(-kernel_size // stride)
+    ctx = m - 1
+    if ctx == 0:
+        return (_causal_tconv_phase_cl(x_cl, w, b, kernel_size=kernel_size,
+                                       stride=stride), tail_cl)
+    xw = jnp.concatenate([tail_cl, x_cl], axis=1)
+    y = _causal_tconv_phase_cl(xw, w, b, kernel_size=kernel_size, stride=stride)
+    return y[:, ctx * stride:], xw[:, -ctx:]
+
+
+def _res_chain_stream_cl(x_cl, tail_cl, units, dilations, seq_start):
+    """Residual-unit chain with a carried chain-input tail (ctx =
+    ops.pallas_conv.chain_ctx rows). seq_start (traced bool): tail rows are
+    re-zeroed after every unit — they stand for each conv's own causal pad
+    and unit outputs are nonzero on zero input (biases)."""
+    from echo_tts_tpu.ops.pallas_conv import res_units_cl
+
+    ctx = tail_cl.shape[1]
+    xw = jnp.concatenate([tail_cl, x_cl], axis=1)
+    impl = _pick_conv_impl()
+    zb = jnp.where(seq_start, jnp.int32(ctx), jnp.int32(0))
+    if impl in ("pallas", "pallas_interpret"):
+        y = res_units_cl(xw, units, dilations,
+                         interpret=(impl == "pallas_interpret"), zero_below=zb)
+    else:
+        y = xw
+        in_tail = (jnp.arange(xw.shape[1]) < ctx)[None, :, None]
+        dead = jnp.logical_and(seq_start, in_tail)
+        for u, d in zip(units, dilations):
+            y = _residual_unit_cl(y, u, dilation=d)
+            y = jnp.where(dead, jnp.zeros_like(y), y)
+    return y[:, ctx:], xw[:, -ctx:]
+
+
+def _window_transformer_stream(x, p: dict, kv, pos0, *, n_head: int,
+                               head_dim: int, window: int,
+                               norm_eps: float = 1e-5,
+                               max_positions: int = 1024):
+    """Streaming WindowLimitedTransformer step (channels-first x (B, C, S) at
+    absolute frame offset pos0). kv: per layer {"k","v"} (B, window-1, H, Dh)
+    holding the previous window-1 positions (zeros before the sequence start,
+    inert via position masking). Returns (y (B, C, S), new_kv).
+
+    Exact vs the full window_transformer: queries see exactly the same
+    positions (the window reaches window-1 back), softmax over the masked
+    extras adds exact zeros, RoPE uses absolute positions from the shared
+    bf16-quantized tables."""
+    x = x.transpose(0, 2, 1)  # (B, S, C)
+    b, s, d = x.shape
+    n_cache = window - 1
+    cos_full, sin_full = _ae_rope_tables(max_positions, head_dim)
+    cos = jax.lax.dynamic_slice_in_dim(cos_full, pos0, s, axis=0)
+    sin = jax.lax.dynamic_slice_in_dim(sin_full, pos0, s, axis=0)
+
+    # kv slot j holds absolute position pos0 - n_cache + j; query i is at
+    # pos0 + i. Causal+window: j in [i, i + n_cache]; validity: abs >= 0.
+    i = jnp.arange(s)[:, None]
+    j = jnp.arange(n_cache + s)[None, :]
+    mask = (j >= i) & (j <= i + n_cache) & (j >= n_cache - pos0)
+
+    new_kv = []
+    for layer, lkv in zip(p["layers"], kv):
+        h = _ae_rms_norm(x, layer["attention_norm"]["w"], norm_eps)
+        qkv = h @ layer["attention"]["wqkv"]["w"]
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = _ae_apply_rope(q.reshape(b, s, n_head, head_dim), cos, sin)
+        k = _ae_apply_rope(k.reshape(b, s, n_head, head_dim), cos, sin)
+        v = v.reshape(b, s, n_head, head_dim)
+        kc = jnp.concatenate([lkv["k"], k.astype(lkv["k"].dtype)], axis=1)
+        vc = jnp.concatenate([lkv["v"], v.astype(lkv["v"].dtype)], axis=1)
+        new_kv.append({"k": kc[:, -n_cache:], "v": vc[:, -n_cache:]})
+        scale = 1.0 / jnp.sqrt(jnp.float32(head_dim))
+        logits = jnp.einsum("bshd,bthd->bhst", q, kc.astype(q.dtype),
+                            preferred_element_type=jnp.float32) * scale
+        logits = jnp.where(mask[None, None], logits, jnp.float32(-1e30))
+        w_ = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        o = jnp.einsum("bhst,bthd->bshd", w_, vc.astype(v.dtype),
+                       preferred_element_type=jnp.float32).astype(v.dtype)
+        o = o.reshape(b, s, n_head * head_dim) @ layer["attention"]["wo"]["w"]
+        x = x + layer["attention_layer_scale"] * o
+
+        h = _ae_rms_norm(x, layer["ffn_norm"]["w"], norm_eps)
+        ff = layer["feed_forward"]
+        h = (jax.nn.silu(h @ ff["w1"]["w"]) * (h @ ff["w3"]["w"])) @ ff["w2"]["w"]
+        x = x + layer["ffn_layer_scale"] * h
+
+    x = _ae_rms_norm(x, p["norm"]["w"], norm_eps)
+    return x.transpose(0, 2, 1), new_kv
+
+
+def streaming_decode_init(params: dict, cfg: AEConfig, batch: int,
+                          dtype=None) -> dict:
+    """Zero state for decode_zq_stream_step. dtype defaults to the AE params'
+    dtype (the computation dtype of every carried activation)."""
+    from echo_tts_tpu.ops.pallas_conv import chain_ctx
+
+    if dtype is None:
+        dtype = jax.tree_util.tree_leaves(params)[0].dtype
+
+    def z(*shape):
+        return jnp.zeros(shape, dtype)
+
+    n_cache = cfg.q_window_size - 1
+    kv = [{"k": z(batch, n_cache, cfg.q_n_head, cfg.q_head_dim),
+           "v": z(batch, n_cache, cfg.q_n_head, cfg.q_head_dim)}
+          for _ in range(cfg.q_n_layer)]
+    up = [z(batch, cfg.latent_dim, 6) for _ in cfg.downsample_factor]
+    blocks = []
+    ch = cfg.decoder_dim
+    for i, _stride in enumerate(cfg.decoder_rates):
+        out_ch = params["decoder"]["blocks"][i]["up"]["w"].shape[1]
+        blocks.append({"tconv": z(batch, 1, ch),
+                       "chain": z(batch, chain_ctx((1, 3, 9), 7), out_ch)})
+        ch = out_ch
+    return {
+        "pos": jnp.zeros((), jnp.int32),
+        "kv": kv,
+        "up": up,                               # ConvNeXt dw-conv tails (NCH)
+        "stem": z(batch, 6, cfg.latent_dim),    # channels-last tails below
+        "blocks": blocks,
+        "head": z(batch, 6, ch),
+    }
+
+
+def decode_zq_stream_step(params: dict, cfg: AEConfig, state: dict,
+                          z_chunk: jnp.ndarray,
+                          max_positions: int = 1024):
+    """One streaming decode step: z_chunk (B, D, S) holds z_q frames
+    [state.pos, state.pos + S). Returns (audio (B, 1, S*frame_length),
+    new_state). Chunk outputs equal the same slice of the full decode_zq
+    (tests/test_streaming_decode.py); per-step cost is O(S). Jit with static
+    (cfg, max_positions) and donate the state (decode_zq_stream_step_jit)."""
+    pos = state["pos"]
+    seq_start = pos == 0
+
+    y, kv = _window_transformer_stream(
+        z_chunk, params["quantizer"]["post_module"], state["kv"], pos,
+        n_head=cfg.q_n_head, head_dim=cfg.q_head_dim,
+        window=cfg.q_window_size, norm_eps=cfg.norm_eps,
+        max_positions=max_positions)
+
+    up_tails = []
+    for i, factor in enumerate(reversed(cfg.downsample_factor)):
+        st = params["quantizer"]["upsample"][i]
+        y = causal_tconv(y, st["conv"], kernel_size=factor, stride=factor)
+        # upsample tconv has k == s (no cross-chunk reach); the ConvNeXt
+        # depthwise k=7 conv carries a 6-frame input tail
+        yw = jnp.concatenate([state["up"][i], y], axis=-1)
+        up_tails.append(yw[..., -6:])
+        y = convnext_block(yw, st["convnext"])[..., 6:]
+
+    dec = params["decoder"]
+    x = y.transpose(0, 2, 1)  # channels-last through the decoder
+    x, stem_tail = _conv_stream_cl(x, state["stem"], dec["stem"]["w"],
+                                   dec["stem"].get("b"), kernel_size=7)
+    block_tails = []
+    for i, stride in enumerate(cfg.decoder_rates):
+        blk = dec["blocks"][i]
+        x = _snake_cl(x, blk["snake"].reshape(-1))
+        x, t_tail = _tconv_stream_cl(x, state["blocks"][i]["tconv"],
+                                     blk["up"]["w"], blk["up"].get("b"),
+                                     kernel_size=2 * stride, stride=stride)
+        x, c_tail = _res_chain_stream_cl(x, state["blocks"][i]["chain"],
+                                         blk["res_units"], (1, 3, 9), seq_start)
+        block_tails.append({"tconv": t_tail, "chain": c_tail})
+    x = _snake_cl(x, dec["head_snake"].reshape(-1))
+    x, head_tail = _conv_stream_cl(x, state["head"], dec["head"]["w"],
+                                   dec["head"].get("b"), kernel_size=7)
+    audio = jnp.tanh(x).transpose(0, 2, 1)
+
+    new_state = {"pos": pos + z_chunk.shape[-1], "kv": kv, "up": up_tails,
+                 "stem": stem_tail, "blocks": block_tails, "head": head_tail}
+    return audio, new_state
+
+
+decode_zq_stream_step_jit = jax.jit(
+    decode_zq_stream_step, static_argnames=("cfg", "max_positions"),
+    donate_argnums=(2,))
+
+
+def decode_zq_streaming_stateful(params: dict, cfg: AEConfig,
+                                 z_q: jnp.ndarray, chunk_frames: int = 64,
+                                 max_positions: Optional[int] = None):
+    """Streamed causal decode with carried state: yields waveform chunks
+    (B, 1, <=chunk_frames*frame_length) matching the full decode. Unlike
+    decode_zq_streaming (receptive-field re-decode), each chunk costs
+    O(chunk). The final partial chunk is zero-padded on the right for compile
+    stability (padding is future context — causality keeps the kept samples
+    exact) and cropped."""
+    b, d, t = z_q.shape
+    if max_positions is None:
+        max_positions = max(1024, t)
+    state = streaming_decode_init(params, cfg, b, dtype=z_q.dtype)
+    spl = cfg.frame_length
+    for start in range(0, t, chunk_frames):
+        n = min(chunk_frames, t - start)
+        chunk = z_q[:, :, start:start + n]
+        if n < chunk_frames:
+            chunk = jnp.pad(chunk, ((0, 0), (0, 0), (0, chunk_frames - n)))
+        audio, state = decode_zq_stream_step_jit(params, cfg, state, chunk,
+                                                 max_positions)
+        yield audio[:, :, : n * spl]
+
+
 def decode_zq_streaming(params: dict, cfg: AEConfig, z_q: jnp.ndarray,
                         chunk_frames: int = 64,
                         context_frames: Optional[int] = None):

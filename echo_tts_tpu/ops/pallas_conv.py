@@ -57,7 +57,7 @@ def _sin2(t):
     return z * p
 
 
-def _res_chain_kernel(x_cur, x_prev, a1, a2, w7, b7, w1, b1, o_ref, *,
+def _res_chain_kernel(zb_ref, x_cur, x_prev, a1, a2, w7, b7, w1, b1, o_ref, *,
                       dilations: Sequence[int], halo: int, kernel_size: int):
     ii = pl.program_id(1)
     cur = x_cur[0]                      # (TQ, C)
@@ -66,11 +66,14 @@ def _res_chain_kernel(x_cur, x_prev, a1, a2, w7, b7, w1, b1, o_ref, *,
     x = jnp.concatenate([prev_tail, cur], axis=0)  # (H + TQ, C)
     twin = x.shape[0]
     in_dtype = x.dtype
-    # On the first tile the halo is the true pre-sequence zero pad; it must be
-    # re-zeroed after every unit (unit outputs are nonzero on zero input —
-    # biases — but the reference zero-pads each conv's OWN input).
+    # Rows of tile 0 below zb_ref stand for each conv's own causal zero pad
+    # and must be re-zeroed after every unit (unit outputs are nonzero on
+    # zero input — biases — but the reference zero-pads each conv's OWN
+    # input). Whole-sequence calls pass zb = halo (the prefix IS the
+    # pre-sequence pad); streaming mid-chunk calls pass zb = 0 — their tile-0
+    # prefix holds REAL previous input whose outputs the caller crops.
     row = jax.lax.broadcasted_iota(jnp.int32, (twin, 1), 0)
-    live = jnp.logical_or(ii > 0, row >= halo)
+    live = jnp.logical_or(ii > 0, row >= zb_ref[0])
 
     for u, d in enumerate(dilations):
         # snake1 (fp32 on the VPU, cast back for the MXU)
@@ -98,20 +101,38 @@ def _res_chain_kernel(x_cur, x_prev, a1, a2, w7, b7, w1, b1, o_ref, *,
     o_ref[0] = x[halo:, :]
 
 
+def chain_ctx(dilations: Sequence[int] = (1, 3, 9), kernel_size: int = 7) -> int:
+    """Left-context rows a residual-unit chain needs for exact streaming:
+    the kernel's halo (receptive extent rounded to the sublane tile). The
+    streaming decode (models/s1dac.py) carries this many rows of chain INPUT
+    between chunks and passes zero_below accordingly."""
+    return _round_up(sum((kernel_size - 1) * d for d in dilations), 16)
+
+
 def fused_res_chain_cl(x: jnp.ndarray, units: Sequence[dict],
                        dilations: Sequence[int], *, kernel_size: int = 7,
-                       tile_t: int = 2048, interpret: bool = False) -> jnp.ndarray:
+                       tile_t: int = 2048, interpret: bool = False,
+                       zero_below=None) -> jnp.ndarray:
     """Apply a chain of causal residual units to channels-last x (B, T, C).
 
     units: list of param dicts {snake1 (1,C,1), conv1 {w (O,I,K), b}, snake2,
     conv2 {w (O,I,1), b}} — same pytree as models.s1dac._residual_unit_cl.
     Matches the XLA path bit-for-tolerance (tests/test_pallas_conv.py).
+
+    zero_below: optional traced int32 — rows of the sequence below this index
+    are re-zeroed after every unit (they stand for the causal zero pad).
+    Default (None) = the chain halo, i.e. x starts the sequence. Streaming
+    callers whose x is [carried tail | chunk] pass chain_ctx(...) when the
+    stream starts and 0 mid-stream (the tail then holds real context).
     """
     b, t, c = x.shape
     n = len(units)
     assert len(dilations) == n
 
     halo = _round_up(sum((kernel_size - 1) * d for d in dilations), 16)
+    if zero_below is None:
+        zero_below = halo
+    zb = jnp.reshape(jnp.asarray(zero_below, jnp.int32), (1,))
     # shrink the time tile as channels grow so window temps + weights fit
     # VMEM (~0.4 MB per in/out block, several fp32 temps of window size)
     tq = tile_t
@@ -135,6 +156,7 @@ def fused_res_chain_cl(x: jnp.ndarray, units: Sequence[dict],
                           halo=halo, kernel_size=kernel_size),
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, tq, c), lambda bb, ii: (bb, ii, 0)),
             pl.BlockSpec((1, tq, c), lambda bb, ii: (bb, jnp.maximum(ii - 1, 0), 0)),
             pl.BlockSpec((n, c), lambda bb, ii: (0, 0)),
@@ -147,7 +169,7 @@ def fused_res_chain_cl(x: jnp.ndarray, units: Sequence[dict],
         out_specs=pl.BlockSpec((1, tq, c), lambda bb, ii: (bb, ii, 0)),
         out_shape=jax.ShapeDtypeStruct(xp.shape, x.dtype),
         interpret=interpret,
-    )(xp, xp, a1, a2, w7, b7, w1, b1)
+    )(zb, xp, xp, a1, a2, w7, b7, w1, b1)
     return out[:, :t] if pad_t else out
 
 
@@ -157,15 +179,19 @@ _CHAIN_WEIGHT_BYTES = 8 * 1024 * 1024
 
 def res_units_cl(x: jnp.ndarray, units: Sequence[dict],
                  dilations: Sequence[int] = (1, 3, 9), *,
-                 kernel_size: int = 7, interpret: bool = False) -> jnp.ndarray:
+                 kernel_size: int = 7, interpret: bool = False,
+                 zero_below=None) -> jnp.ndarray:
     """Dispatch: one fused chain when weights fit VMEM, else per-unit calls
-    (C=768's 25 MB of conv7 weights exceed VMEM)."""
+    (C=768's 25 MB of conv7 weights exceed VMEM). zero_below (see
+    fused_res_chain_cl) applies per call either way — each unit re-zeroes its
+    own pre-sequence rows, which is exactly the reference's per-conv pad."""
     c = x.shape[-1]
     wbytes = len(units) * kernel_size * c * c * x.dtype.itemsize
     if wbytes <= _CHAIN_WEIGHT_BYTES:
         return fused_res_chain_cl(x, units, dilations,
-                                  kernel_size=kernel_size, interpret=interpret)
+                                  kernel_size=kernel_size, interpret=interpret,
+                                  zero_below=zero_below)
     for u, d in zip(units, dilations):
         x = fused_res_chain_cl(x, [u], (d,), kernel_size=kernel_size,
-                               interpret=interpret)
+                               interpret=interpret, zero_below=zero_below)
     return x

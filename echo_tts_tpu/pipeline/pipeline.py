@@ -63,6 +63,43 @@ def _sample_and_decode(dit_params, dit_cfg, sc, ae_params, ae_cfg, pca,
     return latents, audio.astype(jnp.float32)
 
 
+@_partial(jax.jit, static_argnames=("dit_cfg", "sc", "ae_cfg", "block_size",
+                                    "total_len", "model_dtype",
+                                    "max_positions"),
+          donate_argnums=(3, 4, 5))
+def _sample_block_and_decode(dit_params, dit_cfg, sc, prefix, lat_state,
+                             dec_state, start_pos, noise, text_mask,
+                             speaker_mask, kv_text, kv_speaker, ae_params,
+                             ae_cfg, pca, block_size, total_len, model_dtype,
+                             max_positions):
+    """One streaming step fused into ONE executable: blockwise Euler sampling
+    of [start_pos, start_pos+block) + incremental latent-prefix KV append
+    (models/dit.py:extend_latent_kv) + PCA deproject + the STATEFUL S1-DAC
+    decode of exactly that block (models/s1dac.py:decode_zq_stream_step).
+
+    The carried decoder state (post-module KV window + per-stage conv tails)
+    makes the vocoder cost O(block) instead of O(receptive field ~1080
+    frames) — the round-2 streaming path re-decoded ~17x redundant context
+    per chunk — and the incremental KV replaces the per-block full-prefix
+    re-encode. Fusing keeps it at one device dispatch per block (~20 ms
+    relay overhead otherwise). prefix, lat_state, and dec_state are donated
+    and stay device-resident across blocks (SURVEY.md §5.7)."""
+    from echo_tts_tpu.sampling.blockwise import sample_block_core
+
+    prefix, lat_state = sample_block_core(
+        dit_params, dit_cfg, sc, prefix, lat_state, start_pos, noise,
+        text_mask, speaker_mask, kv_text, kv_speaker, block_size, total_len,
+        model_dtype)
+    block_lat = jax.lax.dynamic_slice(
+        prefix, (0, start_pos, 0),
+        (prefix.shape[0], block_size, prefix.shape[2]))
+    ae_dtype = jax.tree_util.tree_leaves(ae_params)[0].dtype
+    z_q = _pca_mod.deproject(pca, block_lat).astype(ae_dtype)
+    audio, dec_state = _s1dac.decode_zq_stream_step(
+        ae_params, ae_cfg, dec_state, z_q, max_positions)
+    return prefix, lat_state, dec_state, audio.astype(jnp.float32)
+
+
 @dataclasses.dataclass
 class EchoTTS:
     """Bundles the three weight sets (reference loads them separately:
@@ -297,6 +334,69 @@ def _block_schedule(block_size, budget: int) -> list:
     return out
 
 
+def stream_blocks_fused(dit_params, dit_cfg, sc, ae_params, ae_cfg, pca,
+                        speaker_latent, speaker_mask, ids, text_mask,
+                        block_sizes, noises, model_dtype,
+                        continuation_latent=None,
+                        max_positions: Optional[int] = None):
+    """Device-side streaming loop shared by sample_pipeline_stream and
+    bench.py: per block, ONE fused executable samples the block, deprojects
+    it, and decodes it through the stateful vocoder. Yields
+    (prefix, audio (B, 1, bs*frame_length) fp32 device array, start, bs).
+    A continuation prefix first advances the decoder state through the seed
+    region (audio discarded — only new blocks are yielded)."""
+    from echo_tts_tpu.models.dit import get_kv_cache_speaker, get_kv_cache_text
+
+    ids = jnp.asarray(ids)
+    text_mask = jnp.asarray(text_mask)
+    speaker_latent = jnp.asarray(speaker_latent)
+    speaker_mask = jnp.asarray(speaker_mask)
+    b = ids.shape[0]
+    kv_text = get_kv_cache_text(dit_params, dit_cfg, ids, text_mask)
+    kv_speaker = get_kv_cache_speaker(dit_params, dit_cfg,
+                                      speaker_latent.astype(model_dtype))
+    cont_len = 0 if continuation_latent is None else continuation_latent.shape[1]
+    total = cont_len + sum(int(s) for s in block_sizes)
+    if max_positions is None:
+        max_positions = max(1024, total)
+    from echo_tts_tpu.models.dit import extend_latent_kv, init_latent_kv_state
+
+    ae_dtype = jax.tree_util.tree_leaves(ae_params)[0].dtype
+    prefix = jnp.zeros((b, total, dit_cfg.latent_size), jnp.float32)
+    dec_state = _s1dac.streaming_decode_init(ae_params, ae_cfg, b,
+                                             dtype=ae_dtype)
+    lat_state = init_latent_kv_state(dit_params, dit_cfg, b, total,
+                                     model_dtype)
+    if continuation_latent is not None:
+        prefix = prefix.at[:, :cont_len].set(
+            continuation_latent.astype(jnp.float32))
+        # seed both carried states with the continuation region: the
+        # incremental latent KV in one append, the vocoder state by decoding
+        # (and discarding) the seed audio in chunks
+        lat_state = jax.jit(extend_latent_kv, static_argnames=("cfg",))(
+            dit_params, dit_cfg, lat_state,
+            continuation_latent.astype(model_dtype), jnp.int32(0))
+        z_cont = _pca_mod.deproject(pca, prefix[:, :cont_len]).astype(ae_dtype)
+        done = 0
+        while done < cont_len:
+            n = min(64, cont_len - done)
+            _, dec_state = _s1dac.decode_zq_stream_step_jit(
+                ae_params, ae_cfg, dec_state, z_cont[:, :, done:done + n],
+                max_positions)
+            done += n
+
+    start = cont_len
+    for bi, bs in enumerate(block_sizes):
+        noise = jnp.asarray(noises[bi], jnp.float32)
+        prefix, lat_state, dec_state, audio = _sample_block_and_decode(
+            dit_params, dit_cfg, sc, prefix, lat_state, dec_state,
+            jnp.int32(start), noise, text_mask, speaker_mask, kv_text,
+            kv_speaker, ae_params, ae_cfg, pca, int(bs), total, model_dtype,
+            max_positions)
+        yield prefix, audio, start, int(bs)
+        start += int(bs)
+
+
 def sample_pipeline_stream(
     tts: EchoTTS,
     text_prompt: str,
@@ -328,11 +428,14 @@ def sample_pipeline_stream(
     crops exactly where the one-shot path would and STOPS — unlike the
     reference, which always generates all 640 latents and crops afterwards.
 
-    Exactness: each block's waveform comes from decoding z_q over
-    [block_start - context, block_end) and emitting the tail — identical to
-    the full decode when `decode_context_frames` covers the receptive field
-    (default models/s1dac.py:decode_receptive_frames; verified in tests).
-    Requires a checkpoint WITH blockwise modules (cfg.has_latent_modules).
+    Exactness: the vocoder runs STATEFULLY (models/s1dac.py:
+    decode_zq_stream_step — post-module KV window + per-stage conv tails),
+    so each block decodes exactly its own frames at O(block) cost while
+    matching the full decode (verified in tests). One fused executable per
+    block covers sampling + deproject + decode (_sample_block_and_decode).
+    `decode_context_frames` is accepted for compatibility but unused (the
+    carried state IS the context). Requires a checkpoint WITH blockwise
+    modules (cfg.has_latent_modules).
 
     Continuation (reference: inference_blockwise.py:126-220): when
     `continuation_audio` (1, samples) is given, it is AE-encoded to latents
@@ -341,10 +444,7 @@ def sample_pipeline_stream(
     inference_blockwise.py:189-190). Only NEW audio is emitted; the
     flattening detector runs on the generated region only.
     """
-    from echo_tts_tpu.models import pca as pca_mod
-    from echo_tts_tpu.models.s1dac import decode_zq_window
     from echo_tts_tpu.pipeline import flattening
-    from echo_tts_tpu.sampling.blockwise import sample_blockwise_stream
 
     if not tts.dit_cfg.has_latent_modules:
         raise ValueError(
@@ -358,7 +458,6 @@ def sample_pipeline_stream(
     block_sizes = _block_schedule(block_size, sc.sequence_length)
     spl = tts.ae_cfg.frame_length
     window = 20  # detector window (reference: inference.py:315)
-    ae_dtype = jax.tree_util.tree_leaves(tts.ae_params)[0].dtype
 
     cont_latent, cont_len = None, 0
     if continuation_audio is not None:
@@ -396,34 +495,26 @@ def sample_pipeline_stream(
         noises.append(full_noise[:, off:off + bs])
         off += bs
 
-    # emitted_to: frames whose audio has been yielded; decoded_to: frames
-    # whose audio exists. The gap (<= window) is the holdback that lets a
-    # flattening point near a block boundary crop audio BEFORE it is sent.
-    # Continuation frames are context only — never re-emitted.
+    # emitted_to: frames whose audio has been yielded. `held` buffers decoded
+    # audio for frames [emitted_to, current block start) — the <= window
+    # holdback that lets a flattening point near a block boundary crop audio
+    # BEFORE it is sent. Continuation frames are context only — never
+    # re-emitted.
     emitted_to = cont_len
-    pending = None  # held-back audio (1, 1, <=window*spl), frames [emitted_to, decoded_to)
-
-    def decode_span(prefix, lo_frame, hi_frame):
-        z_q = pca_mod.deproject(tts.pca, prefix[:, :hi_frame]).astype(ae_dtype)
-        return np.asarray(decode_zq_window(
-            tts.ae_params, tts.ae_cfg, z_q, lo_frame, hi_frame,
-            decode_context_frames), np.float32)
+    held = np.zeros((1, 1, 0), np.float32)
 
     total = cont_len + sum(block_sizes)
-    for prefix, start, bs in sample_blockwise_stream(
-            tts.dit_params, tts.dit_cfg, sc,
-            jnp.asarray(speaker_latent), jnp.asarray(speaker_mask),
-            jnp.asarray(ids), jnp.asarray(text_mask),
-            block_sizes, noises=noises, rng_seed=rng_seed,
-            continuation_latent=cont_latent,
-            model_dtype=tts.model_dtype):
+    for prefix, audio_dev, start, bs in stream_blocks_fused(
+            tts.dit_params, tts.dit_cfg, sc, tts.ae_params, tts.ae_cfg,
+            tts.pca, speaker_latent, speaker_mask, ids, text_mask,
+            block_sizes, noises, tts.model_dtype,
+            continuation_latent=cont_latent):
         end = start + bs
         is_final = end == total
-        audio = decode_span(prefix, emitted_to, end)  # frames [emitted_to, end)
-        if pending is not None:
-            # pending covers [emitted_to, start): prefer the fresh decode
-            # (identical by causality); drop the stale copy
-            pending = None
+        # held covers [emitted_to, start); the fused step decoded [start, end)
+        audio = np.concatenate([held, np.asarray(audio_dev, np.float32)],
+                               axis=-1)
+        held = np.zeros((1, 1, 0), np.float32)
 
         fp = None
         if stop_at_flattening:
@@ -445,5 +536,5 @@ def sample_pipeline_stream(
         # hold back the last `window` frames of decoded audio
         hold_from = max(emitted_to, end - window)
         yield audio[:, :, : (hold_from - emitted_to) * spl]
-        pending = audio[:, :, (hold_from - emitted_to) * spl:]
+        held = audio[:, :, (hold_from - emitted_to) * spl:]
         emitted_to = hold_from

@@ -20,20 +20,18 @@ import jax.numpy as jnp
 from echo_tts_tpu.core.config import DiTConfig, SamplerConfig
 from echo_tts_tpu.core.rope import precompute_rope
 from echo_tts_tpu.models.dit import (
-    get_kv_cache_latent,
     get_kv_cache_speaker,
     get_kv_cache_text,
 )
 from echo_tts_tpu.sampling.euler_cfg import euler_cfg_scan
 
 
-@partial(jax.jit, static_argnames=("cfg", "sc", "block_size", "total_len", "model_dtype"),
-         donate_argnums=(3,))
-def _sample_block(
+def sample_block_core(
     params: dict,
     cfg: DiTConfig,
     sc: SamplerConfig,
-    prefix_latent: jnp.ndarray,   # (B, total_len, latent) fp32, donated
+    prefix_latent: jnp.ndarray,   # (B, total_len, latent) fp32
+    lat_state: dict,              # incremental KV (dit.init_latent_kv_state)
     start_pos: jnp.ndarray,       # () int32 — dynamic so all blocks of one size share a compile
     noise: jnp.ndarray,           # (B, block_size, latent) fp32
     text_mask, speaker_mask,
@@ -42,8 +40,20 @@ def _sample_block(
     total_len: int,
     model_dtype,
 ):
-    # latent-prefix KV over the full padded prefix; invalid tail masked
-    kv_latent = get_kv_cache_latent(params, cfg, prefix_latent.astype(model_dtype))
+    """Unjitted single-block step (jit/fuse at the call site: `_sample_block`
+    here; the streaming pipeline fuses it with the stateful vocoder step in
+    pipeline._sample_block_and_decode).
+
+    The latent-prefix KV is INCREMENTAL (dit.extend_latent_kv): the latent
+    encoder is causal, so each completed block's KV is appended into the
+    preallocated device-resident buffers instead of re-encoding the whole
+    padded prefix per block (the reference rebuilds:
+    inference_blockwise.py:72-74; SURVEY §5.7 prescribed the append design).
+    Per-block KV cost is O(block); unwritten tail positions are zeros, inert
+    via the `latent_pos < start_pos` mask (reference model.py:243-244)."""
+    from echo_tts_tpu.models.dit import extend_latent_kv
+
+    kv_latent = (lat_state["k"], lat_state["v"])
     n_lat = kv_latent[0].shape[3]
     latent_positions = jnp.arange(n_lat) * cfg.speaker_patch_size
     latent_mask = (latent_positions[None, :] < start_pos)
@@ -63,9 +73,17 @@ def _sample_block(
         model_dtype, rope_q=(cos, sin), kv_latent=kv_latent,
         latent_mask=latent_mask)
 
+    # append this block's KV for the NEXT block's conditioning
+    lat_state = extend_latent_kv(params, cfg, lat_state,
+                                 x_out.astype(model_dtype), start_pos)
     prefix_latent = jax.lax.dynamic_update_slice(
         prefix_latent, x_out, (0, start_pos, 0))
-    return prefix_latent
+    return prefix_latent, lat_state
+
+
+_sample_block = partial(jax.jit, static_argnames=(
+    "cfg", "sc", "block_size", "total_len", "model_dtype"),
+    donate_argnums=(3, 4))(sample_block_core)
 
 
 def sample_blockwise_stream(
@@ -90,6 +108,8 @@ def sample_blockwise_stream(
     are sampled lazily, so unconsumed blocks cost nothing. State between
     blocks stays device-resident (the prefix buffer is donated into each
     `_sample_block`, SURVEY.md §5.7)."""
+    from echo_tts_tpu.models.dit import extend_latent_kv, init_latent_kv_state
+
     b = text_input_ids.shape[0]
     kv_text = get_kv_cache_text(params, cfg, text_input_ids, text_mask)
     kv_speaker = get_kv_cache_speaker(params, cfg, speaker_latent.astype(model_dtype))
@@ -98,8 +118,13 @@ def sample_blockwise_stream(
     total_len = cont_len + sum(int(s) for s in block_sizes)
 
     prefix = jnp.zeros((b, total_len, cfg.latent_size), dtype=jnp.float32)
+    lat_state = init_latent_kv_state(params, cfg, b, total_len, model_dtype)
     if continuation_latent is not None:
         prefix = prefix.at[:, :cont_len].set(continuation_latent.astype(jnp.float32))
+        # seed the incremental caches with the continuation region
+        lat_state = jax.jit(extend_latent_kv, static_argnames=("cfg",))(
+            params, cfg, lat_state,
+            continuation_latent.astype(model_dtype), jnp.int32(0))
 
     start_pos = cont_len
     for bi, block_size in enumerate(block_sizes):
@@ -109,8 +134,8 @@ def sample_blockwise_stream(
             key = jax.random.fold_in(jax.random.PRNGKey(rng_seed), bi)
             noise = jax.random.normal(key, (b, block_size, cfg.latent_size),
                                       dtype=jnp.float32)
-        prefix = _sample_block(
-            params, cfg, sc, prefix, jnp.int32(start_pos), noise,
+        prefix, lat_state = _sample_block(
+            params, cfg, sc, prefix, lat_state, jnp.int32(start_pos), noise,
             text_mask, speaker_mask, kv_text, kv_speaker,
             int(block_size), total_len, model_dtype)
         yield prefix, start_pos, int(block_size)
