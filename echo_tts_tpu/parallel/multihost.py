@@ -57,6 +57,58 @@ class HostHealth:
                 if now - t > self.stale_after_s]
 
 
+    def remove(self, host_id: int) -> None:
+        """Forget a host (after its work has been reassigned)."""
+        self.last_beat.pop(host_id, None)
+
+
+class FleetCoordinator:
+    """Utterance-level work distribution with failure recovery for a pure-DP
+    serving fleet (SURVEY.md §5.3): sampling is stateless per utterance, so
+    recovering from a dead host is reassignment, not state transfer.
+
+    Transport-agnostic: the caller reports heartbeats however it observes
+    them (RPC, shared filesystem, object store) via `observe_beat`, and
+    `reap()` returns the work of hosts whose last observed beat is stale —
+    the caller resubmits it (typically locally via `run_with_retry`).
+    Deliberately NOT built on collectives: a dead process hangs a collective,
+    so failure detection must live outside the SPMD layer (the same reason
+    the reference has no recovery story to port — SURVEY.md §5.3)."""
+
+    def __init__(self, stale_after_s: float = 30.0):
+        self.health = HostHealth(stale_after_s)
+        self.assigned: dict[int, set] = {}
+        self.done: set = set()
+        self.reassigned: list = []
+
+    def assign(self, host_id: int, work_id) -> None:
+        self.assigned.setdefault(host_id, set()).add(work_id)
+        self.health.beat(host_id)  # assignment implies liveness now
+
+    def observe_beat(self, host_id: int) -> None:
+        self.health.beat(host_id)
+
+    def complete(self, host_id: int, work_id) -> None:
+        self.assigned.get(host_id, set()).discard(work_id)
+        self.done.add(work_id)
+
+    def pending(self) -> set:
+        out = set()
+        for ids in self.assigned.values():
+            out |= ids
+        return out
+
+    def reap(self) -> list:
+        """Collect the outstanding work of stale hosts and forget them.
+        Returns the orphaned work ids (deterministic order) for resubmission."""
+        orphans = []
+        for h in self.health.stale_hosts():
+            orphans.extend(sorted(self.assigned.pop(h, ()), key=repr))
+            self.health.remove(h)
+        self.reassigned.extend(orphans)
+        return orphans
+
+
 def run_with_retry(fn: Callable[[], Any], max_retries: int = 2,
                    on_failure: Optional[Callable[[Exception], None]] = None) -> Any:
     """Utterance-level retry wrapper: pure-DP work is resubmittable."""
