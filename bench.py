@@ -108,6 +108,67 @@ def main():
         # host fetch is the reliable fence (see memory: axon-tpu-relay-pitfalls)
         np.asarray(x[(0,) * (x.ndim - 1) + (slice(0, 1),)])
 
+    if "--check" in sys.argv:
+        # On-TPU full-shape kernel correctness gate: the numeric tests verify
+        # the Pallas kernels in interpret mode at tiny CPU shapes only — a
+        # Mosaic shape-dependent miscompile at the serving shapes would ship
+        # a wrong headline silently. This runs the COMPILED kernels at the
+        # real shapes against the XLA formulations. Run it whenever kernels
+        # or serving shapes change (README documents it).
+        from echo_tts_tpu.models import s1dac as _s1d
+        from echo_tts_tpu.models.dit import (
+            dit_forward_cfg, get_kv_cache_speaker, get_kv_cache_text)
+        from echo_tts_tpu.models import dit as _dit
+
+        def rel(a, b):
+            a = np.asarray(a, np.float64).ravel()
+            b = np.asarray(b, np.float64).ravel()
+            return float(np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-30))
+
+        kvt = jax.jit(get_kv_cache_text, static_argnames=("cfg",))(
+            dit_params, dit_cfg, ids, text_mask)
+        kvs = jax.jit(get_kv_cache_speaker, static_argnames=("cfg",))(
+            dit_params, dit_cfg, speaker_latent.astype(jnp.bfloat16))
+        x = noise[:, :SEQ].astype(jnp.bfloat16)
+        t = jnp.full((batch,), 0.7, jnp.bfloat16)
+        outs = {}
+        for impl in ("pallas", "xla"):
+            _dit.set_attention_impl(impl)
+            f = jax.jit(lambda p, x_, t_, tm, sm, kt, ks: dit_forward_cfg(
+                p, dit_cfg, x_, t_, tm, sm, kt, ks))  # fresh fn per impl:
+            #   the impl global is not part of jit's cache key
+            outs[impl] = np.asarray(
+                f(dit_params, x, t, text_mask, speaker_mask, kvt, kvs),
+                np.float32)
+        _dit.set_attention_impl("auto")
+        attn_rel = rel(outs["pallas"], outs["xla"])
+
+        zq = jax.random.normal(jax.random.fold_in(key, 7),
+                               (batch, ae_cfg.latent_dim, SEQ),
+                               dtype=jnp.bfloat16) * 0.3
+        vouts = {}
+        for impl in ("pallas", "xla"):
+            _s1d.set_conv_impl(impl)
+            g = jax.jit(lambda p, z: _s1d.decode_zq(p, ae_cfg, z))
+            vouts[impl] = np.asarray(g(ae_params, zq), np.float32)
+        _s1d.set_conv_impl("auto")
+        conv_rel = rel(vouts["pallas"], vouts["xla"])
+
+        # bf16 outputs: rounding alone gives ~1e-3 rel-L2 between two exact
+        # formulations; a miscompile gives O(1). 2e-2 cleanly separates.
+        ok = attn_rel < 2e-2 and conv_rel < 2e-2
+        print(f"# kernel check @serving shapes: attention rel {attn_rel:.2e},"
+              f" vocoder chains rel {conv_rel:.2e}", file=sys.stderr)
+        print(json.dumps({
+            "metric": "on-chip kernel-vs-XLA rel error (CFG fwd @640; "
+                      "decode_zq @640)",
+            "value": round(max(attn_rel, conv_rel), 8),
+            "unit": "rel_l2",
+            "vs_baseline": 1.0 if ok else 0.0,
+            "pass": ok,
+        }))
+        sys.exit(0 if ok else 1)
+
     if blockwise:
         # interleaved streaming: ONE fused executable per block (sample +
         # deproject + STATEFUL vocoder step — pipeline.stream_blocks_fused;

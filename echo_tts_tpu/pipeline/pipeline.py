@@ -100,6 +100,45 @@ def _sample_block_and_decode(dit_params, dit_cfg, sc, prefix, lat_state,
     return prefix, lat_state, dec_state, audio.astype(jnp.float32)
 
 
+@_partial(jax.jit, static_argnames=("dit_cfg", "sc", "ae_cfg", "block_size",
+                                    "total_len", "model_dtype",
+                                    "max_positions"))
+def _stream_first_block(dit_params, dit_cfg, sc, ae_params, ae_cfg, pca,
+                        speaker_latent, speaker_mask, ids, text_mask, noise,
+                        block_size, total_len, model_dtype, max_positions):
+    """Streaming prologue + first block as ONE executable: text/speaker KV
+    build, prefix/latent-KV/decoder-state init, first-block sampling, and
+    its stateful decode. Time-to-first-audio pays a single device dispatch
+    instead of ~5 (each ~20 ms through the relay), and XLA overlaps the KV
+    builds with state initialization."""
+    from echo_tts_tpu.models.dit import (
+        get_kv_cache_speaker,
+        get_kv_cache_text,
+        init_latent_kv_state,
+    )
+    from echo_tts_tpu.sampling.blockwise import sample_block_core
+
+    kv_text = get_kv_cache_text(dit_params, dit_cfg, ids, text_mask)
+    kv_speaker = get_kv_cache_speaker(dit_params, dit_cfg,
+                                      speaker_latent.astype(model_dtype))
+    b = ids.shape[0]
+    ae_dtype = jax.tree_util.tree_leaves(ae_params)[0].dtype
+    prefix = jnp.zeros((b, total_len, dit_cfg.latent_size), jnp.float32)
+    lat_state = init_latent_kv_state(dit_params, dit_cfg, b, total_len,
+                                     model_dtype)
+    dec_state = _s1dac.streaming_decode_init(ae_params, ae_cfg, b,
+                                             dtype=ae_dtype)
+    prefix, lat_state = sample_block_core(
+        dit_params, dit_cfg, sc, prefix, lat_state, jnp.int32(0), noise,
+        text_mask, speaker_mask, kv_text, kv_speaker, block_size, total_len,
+        model_dtype)
+    z_q = _pca_mod.deproject(pca, prefix[:, :block_size]).astype(ae_dtype)
+    audio, dec_state = _s1dac.decode_zq_stream_step(
+        ae_params, ae_cfg, dec_state, z_q, max_positions)
+    return (kv_text, kv_speaker, prefix, lat_state, dec_state,
+            audio.astype(jnp.float32))
+
+
 @dataclasses.dataclass
 class EchoTTS:
     """Bundles the three weight sets (reference loads them separately:
@@ -352,22 +391,39 @@ def stream_blocks_fused(dit_params, dit_cfg, sc, ae_params, ae_cfg, pca,
     speaker_latent = jnp.asarray(speaker_latent)
     speaker_mask = jnp.asarray(speaker_mask)
     b = ids.shape[0]
-    kv_text = get_kv_cache_text(dit_params, dit_cfg, ids, text_mask)
-    kv_speaker = get_kv_cache_speaker(dit_params, dit_cfg,
-                                      speaker_latent.astype(model_dtype))
     cont_len = 0 if continuation_latent is None else continuation_latent.shape[1]
     total = cont_len + sum(int(s) for s in block_sizes)
     if max_positions is None:
         max_positions = max(1024, total)
-    from echo_tts_tpu.models.dit import extend_latent_kv, init_latent_kv_state
-
     ae_dtype = jax.tree_util.tree_leaves(ae_params)[0].dtype
-    prefix = jnp.zeros((b, total, dit_cfg.latent_size), jnp.float32)
-    dec_state = _s1dac.streaming_decode_init(ae_params, ae_cfg, b,
-                                             dtype=ae_dtype)
-    lat_state = init_latent_kv_state(dit_params, dit_cfg, b, total,
-                                     model_dtype)
-    if continuation_latent is not None:
+
+    if continuation_latent is None:
+        # fused prologue: one dispatch to first audio
+        bs0 = int(block_sizes[0])
+        (kv_text, kv_speaker, prefix, lat_state, dec_state,
+         audio) = _stream_first_block(
+            dit_params, dit_cfg, sc, ae_params, ae_cfg, pca, speaker_latent,
+            speaker_mask, ids, text_mask, jnp.asarray(noises[0], jnp.float32),
+            bs0, total, model_dtype, max_positions)
+        yield prefix, audio, 0, bs0
+        start = bs0
+        rest = list(enumerate(block_sizes))[1:]
+    else:
+        from echo_tts_tpu.models.dit import (
+            extend_latent_kv,
+            get_kv_cache_speaker,
+            get_kv_cache_text,
+            init_latent_kv_state,
+        )
+
+        kv_text = get_kv_cache_text(dit_params, dit_cfg, ids, text_mask)
+        kv_speaker = get_kv_cache_speaker(dit_params, dit_cfg,
+                                          speaker_latent.astype(model_dtype))
+        prefix = jnp.zeros((b, total, dit_cfg.latent_size), jnp.float32)
+        dec_state = _s1dac.streaming_decode_init(ae_params, ae_cfg, b,
+                                                 dtype=ae_dtype)
+        lat_state = init_latent_kv_state(dit_params, dit_cfg, b, total,
+                                         model_dtype)
         prefix = prefix.at[:, :cont_len].set(
             continuation_latent.astype(jnp.float32))
         # seed both carried states with the continuation region: the
@@ -384,9 +440,10 @@ def stream_blocks_fused(dit_params, dit_cfg, sc, ae_params, ae_cfg, pca,
                 ae_params, ae_cfg, dec_state, z_cont[:, :, done:done + n],
                 max_positions)
             done += n
+        start = cont_len
+        rest = list(enumerate(block_sizes))
 
-    start = cont_len
-    for bi, bs in enumerate(block_sizes):
+    for bi, bs in rest:
         noise = jnp.asarray(noises[bi], jnp.float32)
         prefix, lat_state, dec_state, audio = _sample_block_and_decode(
             dit_params, dit_cfg, sc, prefix, lat_state, dec_state,
