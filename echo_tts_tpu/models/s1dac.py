@@ -277,6 +277,46 @@ def rvq_decode(codes: jnp.ndarray, quantizers: list) -> jnp.ndarray:
     return z_q
 
 
+def vq_decode_latents(z_e: jnp.ndarray, q: dict) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Nearest code for ALREADY-projected codebook latents (B, Dc, T) — no
+    in_proj (reference: VectorQuantize.decode_latents,
+    autoencoder.py:145-157). Returns (z_p (B, Dc, T) embedded codes,
+    indices (B, T))."""
+    enc = z_e.transpose(0, 2, 1)  # (B, T, Dc)
+    enc = enc * jax.lax.rsqrt(jnp.sum(enc * enc, axis=-1, keepdims=True) + 1e-24)
+    cb = q["codebook"]
+    cb = cb * jax.lax.rsqrt(jnp.sum(cb * cb, axis=-1, keepdims=True) + 1e-24)
+    sim = jnp.einsum("btd,kd->btk", enc, cb, preferred_element_type=jnp.float32)
+    idx = jnp.argmax(sim, axis=-1).astype(jnp.int32)
+    z_p = q["codebook"][idx].transpose(0, 2, 1)
+    return z_p, idx
+
+
+def rvq_from_latents(latents: jnp.ndarray, quantizers: list
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Decode from concatenated projected latents (B, sum(Dc), T) — the
+    reference's third RVQ decode path (autoencoder.py:234-247): each
+    codebook's channel slice is nearest-neighbor quantized (no in_proj) and
+    out_proj'd into the running sum. Channels beyond the last whole codebook
+    slice are ignored, as in the reference's cumsum gating. Returns
+    (z_q (B, D, T), z_p (B, sum(Dc), T), codes (B, N, T))."""
+    dims = [0]
+    for q in quantizers:
+        dims.append(dims[-1] + q["codebook"].shape[1])
+    n_codebooks = max(i for i in range(len(dims)) if dims[i] <= latents.shape[1])
+    z_q = None
+    z_ps, codes = [], []
+    for i in range(n_codebooks):
+        z_p_i, idx = vq_decode_latents(latents[:, dims[i]:dims[i + 1]],
+                                       quantizers[i])
+        z_ps.append(z_p_i)
+        codes.append(idx)
+        z_q_i = conv1d(z_p_i, quantizers[i]["out_proj"]["w"],
+                       quantizers[i]["out_proj"]["b"])
+        z_q = z_q_i if z_q is None else z_q + z_q_i
+    return z_q, jnp.concatenate(z_ps, axis=1), jnp.stack(codes, axis=1)
+
+
 # ---------------------------------------------------------------------------
 # Encoder / Decoder stacks (reference: autoencoder.py:839-998)
 # ---------------------------------------------------------------------------

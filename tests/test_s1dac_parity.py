@@ -144,3 +144,35 @@ def test_hop_and_frame_length(setup):
     # one z_q frame per frame_length samples (ceil)
     exp_frames = -(-audio.shape[-1] // CFG.frame_length)
     assert zq.shape == (2, CFG.latent_dim, exp_frames)
+
+
+def test_rvq_from_latents_parity(setup):
+    """rvq_from_latents matches the torch reference's third decode path
+    (autoencoder.py:234-247): per-codebook nearest-neighbor on the projected
+    latent slices, out_proj'd and summed."""
+    import torch
+
+    dac, params, _ = setup
+    rvq_t = dac.quantizer.quantizer  # the residual RVQ stack
+    n = sum(q.codebook_dim for q in rvq_t.quantizers)
+    g = torch.Generator().manual_seed(21)
+    lat_t = torch.randn(2, n, 12, generator=g)
+    with torch.no_grad():
+        zq_t, zp_t, codes_t = rvq_t.from_latents(lat_t)
+
+    from echo_tts_tpu.models.s1dac import rvq_from_latents
+
+    zq, zp, codes = rvq_from_latents(jnp.asarray(lat_t.numpy()),
+                                     params["quantizer"]["residual"])
+    np.testing.assert_array_equal(np.asarray(codes), codes_t.numpy())
+    np.testing.assert_allclose(np.asarray(zp), zp_t.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(zq), zq_t.numpy(), atol=1e-5)
+
+    # partial-channel input decodes only the whole codebooks that fit
+    lat_partial = lat_t[:, : n - 1]
+    with torch.no_grad():
+        zq_t2, _, codes_t2 = rvq_t.from_latents(lat_partial)
+    zq2, _, codes2 = rvq_from_latents(jnp.asarray(lat_partial.numpy()),
+                                      params["quantizer"]["residual"])
+    assert codes2.shape[1] == codes_t2.shape[1]
+    np.testing.assert_allclose(np.asarray(zq2), zq_t2.numpy(), atol=1e-5)
