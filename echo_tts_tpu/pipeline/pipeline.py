@@ -460,7 +460,7 @@ def sample_pipeline_stream(
     speaker_audio: Optional[np.ndarray],
     rng_seed: int,
     sc: Optional[SamplerConfig] = None,
-    block_size=160,
+    block_size=(64, 192),
     normalize_text: bool = False,
     stop_at_flattening: bool = True,
     decode_context_frames: Optional[int] = None,

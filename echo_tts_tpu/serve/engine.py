@@ -344,8 +344,9 @@ class Engine:
         speaker_audio: Optional[np.ndarray],
         seed: int = 0,
         sc: Optional[SamplerConfig] = None,
-        block_size=160,  # int, or a schedule like (64, 192) — small first
-        #   block cuts time-to-first-audio (pipeline._block_schedule)
+        block_size=(64, 192),  # schedule (pipeline._block_schedule): small
+        #   first block = best measured TTFA (333 ms) at the best measured
+        #   streaming throughput (BASELINE.md); an int gives uniform blocks
         normalize_text: bool = True,
         continuation_audio: Optional[np.ndarray] = None,
         buffer_chunks: int = 256,

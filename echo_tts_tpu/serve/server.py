@@ -22,9 +22,9 @@ Endpoints:
        -> audio/wav bytes (reference wav-save path: gradio_app.py:376-408);
        "mp3" encodes via libmp3lame and falls back to WAV when the library
        is missing (reference mp3 path: gradio_app.py:111-127)
-  POST /tts_stream  same body as /tts, plus "block_size" (default 160
-       latents; an int, or a list like [64, 192] whose last entry repeats —
-       a small first block cuts time-to-first-audio)
+  POST /tts_stream  same body as /tts, plus "block_size" (default [64, 192]
+       — the measured TTFA/throughput sweet spot; an int, or a list whose
+       last entry repeats — a small first block cuts time-to-first-audio)
        and optional "continuation_wav_b64"/"continuation_path"
        (seed audio to continue from; its transcript must be included in
        "text", reference inference_blockwise.py:189-190)
@@ -192,7 +192,7 @@ def make_handler(engine: Engine, presets: Dict[str, SamplerConfig],
                     # would corrupt the stream).
                     continuation = _load_request_audio(
                         req, "continuation_wav_b64", "continuation_path")
-                    bs = req.get("block_size", 160)
+                    bs = req.get("block_size", [64, 192])
                     bs = [int(x) for x in bs] if isinstance(bs, list) else int(bs)
                     gen = engine.generate_stream(
                         text, speaker, seed=seed, sc=sc,
