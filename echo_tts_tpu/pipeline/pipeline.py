@@ -595,3 +595,96 @@ def sample_pipeline_stream(
         yield audio[:, :, : (hold_from - emitted_to) * spl]
         held = audio[:, :, (hold_from - emitted_to) * spl:]
         emitted_to = hold_from
+
+
+def sample_pipeline_stream_batch(
+    tts: EchoTTS,
+    requests,                       # list of (text, speaker_audio|None, seed)
+    sc: Optional[SamplerConfig] = None,
+    block_size=(64, 192),
+    normalize_text: bool = False,
+    stop_at_flattening: bool = True,
+    speaker_cache=None,
+):
+    """Batched streaming: N utterances stream through ONE fused device call
+    per block (the streaming analogue of sample_pipeline_batch; the
+    reference has neither). Yields {request_index: chunk (1, 1, n)} dicts as
+    blocks complete — only rows that still have audio to emit appear; a row
+    disappears after its flattening point. Per-row audio is identical to the
+    B=1 stream with the same seed (per-seed noise rows match, masks make
+    bucket padding inert; the batch stops early only when EVERY row has
+    stopped). Continuation is not batched — use sample_pipeline_stream."""
+    from echo_tts_tpu.pipeline import flattening
+
+    if not tts.dit_cfg.has_latent_modules:
+        raise ValueError(
+            "streaming generation needs the blockwise (latent-prefix) modules;"
+            " this checkpoint was converted with delete_blockwise_modules")
+    sc = sc or SamplerConfig()
+    n = len(requests)
+    preps = [
+        _prepare_inputs(tts, text, spk, normalize_text, None, None, True,
+                        speaker_cache=speaker_cache)
+        for text, spk, _seed in requests
+    ]
+    text_len = max(p[0].shape[1] for p in preps)
+    spk_len = max(p[3].shape[1] for p in preps)
+    ids = np.concatenate([_pad_to(np.asarray(p[0]), text_len) for p in preps])
+    text_mask = np.concatenate(
+        [_pad_to(np.asarray(p[1]), text_len) for p in preps])
+    speaker_latent = np.concatenate(
+        [_pad_to(np.asarray(p[3]), spk_len) for p in preps])
+    speaker_mask = np.concatenate(
+        [_pad_to(np.asarray(p[4]), spk_len) for p in preps])
+
+    block_sizes = _block_schedule(block_size, sc.sequence_length)
+    spl = tts.ae_cfg.frame_length
+    window = 20  # detector window (reference: inference.py:315)
+    noises = []
+    full = jnp.concatenate([
+        draw_noise(seed, (1, sc.sequence_length, tts.dit_cfg.latent_size))
+        for _t, _s, seed in requests])
+    off = 0
+    for bs in block_sizes:
+        noises.append(full[:, off:off + bs])
+        off += bs
+
+    emitted_to = [0] * n
+    stopped = [False] * n
+    held = [np.zeros((1, 1, 0), np.float32)] * n
+    total = sum(block_sizes)
+
+    for prefix, audio_dev, start, bs in stream_blocks_fused(
+            tts.dit_params, tts.dit_cfg, sc, tts.ae_params, tts.ae_cfg,
+            tts.pca, speaker_latent, speaker_mask, ids, text_mask,
+            block_sizes, noises, tts.model_dtype):
+        end = start + bs
+        is_final = end == total
+        audio_np = np.asarray(audio_dev, np.float32)
+        lat_np = np.asarray(prefix[:, :end], np.float32)
+        out = {}
+        for i in range(n):
+            if stopped[i]:
+                continue
+            audio = np.concatenate([held[i], audio_np[i:i + 1]], axis=-1)
+            held[i] = np.zeros((1, 1, 0), np.float32)
+            fp = None
+            if stop_at_flattening:
+                cand = int(flattening.find_flattening_point(lat_np[i]))
+                if cand <= end - window or (is_final and cand < end):
+                    fp = cand
+            if fp is not None and fp < end:
+                keep = max(0, fp - emitted_to[i])
+                out[i] = audio[:, :, : keep * spl]
+                stopped[i] = True
+            elif is_final:
+                out[i] = audio
+                stopped[i] = True
+            else:
+                hold_from = max(emitted_to[i], end - window)
+                out[i] = audio[:, :, : (hold_from - emitted_to[i]) * spl]
+                held[i] = audio[:, :, (hold_from - emitted_to[i]) * spl:]
+                emitted_to[i] = hold_from
+        yield out
+        if all(stopped):
+            return

@@ -78,6 +78,42 @@ class _PendingRequest:
         self.error = None
 
 
+class _PendingStream:
+    """One queued STREAMING generation awaiting the micro-batcher: chunks
+    flow through a per-request bounded queue (same slow-client decoupling as
+    the unbatched stream path); `gone` marks an abandoned consumer whose
+    chunks are dropped."""
+
+    __slots__ = ("text", "speaker", "seed", "sc", "normalize", "block_size",
+                 "key", "queue", "gone")
+    END = object()
+
+    def __init__(self, text, speaker, seed, sc, normalize, block_size, key,
+                 buffer_chunks: int = 256):
+        import queue as _q
+
+        self.text = text
+        self.speaker = speaker
+        self.seed = seed
+        self.sc = sc
+        self.normalize = normalize
+        self.block_size = block_size
+        self.key = key
+        self.queue = _q.Queue(maxsize=buffer_chunks)
+        self.gone = threading.Event()
+
+    def push(self, item) -> bool:
+        import queue as _q
+
+        while not self.gone.is_set():
+            try:
+                self.queue.put(item, timeout=0.1)
+                return True
+            except _q.Full:
+                continue
+        return False
+
+
 class Engine:
     def __init__(self, tts: EchoTTS, max_retries: int = 1, int8: bool = False,
                  int8_encoders: bool = False, max_batch: int = 1,
@@ -265,8 +301,12 @@ class Engine:
                     self._qcond.wait(0.5)
                 if self._shutdown:
                     for r in self._queue:
-                        r.error = RuntimeError("engine closed")
-                        r.event.set()
+                        if isinstance(r, _PendingStream):
+                            r.push(RuntimeError("engine closed"))
+                            r.push(_PendingStream.END)
+                        else:
+                            r.error = RuntimeError("engine closed")
+                            r.event.set()
                     self._queue.clear()
                     return
                 # adopt the head request's signature, then linger up to
@@ -284,13 +324,19 @@ class Engine:
                      else rest).append(r)
                 self._queue = rest
             try:
-                self._run_batch(batch)
+                if isinstance(batch[0], _PendingStream):
+                    self._run_stream_batch(batch)
+                else:
+                    self._run_batch(batch)
             except BaseException as e:  # pragma: no cover — must never strand
-                # waiters: _run_batch handles expected failures internally,
-                # but an unexpected error here would otherwise kill the
-                # dispatcher thread and hang every queued generate()
+                # waiters: the run methods handle expected failures
+                # internally, but an unexpected error here would otherwise
+                # kill the dispatcher thread and hang every queued generate()
                 for r in batch:
-                    if not r.event.is_set():
+                    if isinstance(r, _PendingStream):
+                        r.push(e)
+                        r.push(_PendingStream.END)
+                    elif not r.event.is_set():
                         r.error = e
                         r.event.set()
                 log.exception("micro-batch dispatcher error")
@@ -338,6 +384,65 @@ class Engine:
             r.error.__cause__ = last_err
             r.event.set()
 
+    def _run_stream_batch(self, batch):
+        """Run grouped streaming requests as ONE batched device stream
+        (pipeline.sample_pipeline_stream_batch; n == 1 uses the solo
+        pipeline). Chunks flow into each request's bounded queue — the
+        device lock is held only while sampling, never while a client
+        drains. Per-stream audio matches the solo stream with the same seed
+        (per-seed noise rows)."""
+        from echo_tts_tpu.pipeline.pipeline import (
+            sample_pipeline_stream,
+            sample_pipeline_stream_batch,
+        )
+
+        sc, normalize = batch[0].sc, batch[0].normalize
+        block_size = list(batch[0].block_size)
+        n = len(batch)
+        t0 = time.perf_counter()
+        n_samples = [0] * n
+        ok = False
+        try:
+            with self._lock:
+                if n == 1:
+                    r = batch[0]
+                    for chunk in sample_pipeline_stream(
+                            self.tts, r.text, r.speaker, r.seed, sc=sc,
+                            block_size=block_size, normalize_text=normalize,
+                            speaker_cache=self._speaker_cache):
+                        n_samples[0] += chunk.shape[-1]
+                        r.push(chunk)
+                        if r.gone.is_set():
+                            break  # abandoned: stop paying for sampling
+                else:
+                    reqs = [(r.text, r.speaker, r.seed) for r in batch]
+                    for out in sample_pipeline_stream_batch(
+                            self.tts, reqs, sc=sc, block_size=block_size,
+                            normalize_text=normalize,
+                            speaker_cache=self._speaker_cache):
+                        for i, chunk in out.items():
+                            n_samples[i] += chunk.shape[-1]
+                            batch[i].push(chunk)
+                        if all(r.gone.is_set() for r in batch):
+                            break
+            ok = True
+        except Exception as e:  # pragma: no cover - device-failure path
+            log.warning("stream batch failed: %s", e)
+            for r in batch:
+                r.push(e)
+        finally:
+            for r in batch:
+                r.push(_PendingStream.END)
+            with self._lock:
+                self.stats["requests"] += n
+                if n > 1:
+                    self.stats["batches"] += 1
+                if not ok:
+                    self.stats["failures"] += n
+                self.stats["total_sample_s"] += time.perf_counter() - t0
+                self.stats["total_audio_s"] += (
+                    sum(n_samples) / self.tts.ae_cfg.sample_rate)
+
     def generate_stream(
         self,
         text: str,
@@ -351,22 +456,67 @@ class Engine:
         continuation_audio: Optional[np.ndarray] = None,
         buffer_chunks: int = 256,
     ):
-        """Yields fp32 waveform chunks (1, 1, n) as latent blocks complete
-        (pipeline.sample_pipeline_stream). Device work runs on a worker
-        thread under the device lock and hands chunks to this generator
-        through a bounded queue, so a slow consumer (stalled client socket)
-        never back-pressures the lock: it is released the moment the last
-        block is sampled, and other requests proceed while the buffered
-        stream drains. `buffer_chunks` bounds the buffered audio (256 blocks
-        is > 2 minutes — far past the 640-latent cap — so in practice the
-        device never blocks on the handoff; a pathological overrun blocks
-        the worker, bounding memory). Closing this generator (client
-        disconnect) stops the worker and ends device work at the next block
-        boundary. `continuation_audio` seeds the blockwise prefix (its
-        transcript must be part of `text`)."""
-        import queue as _queue
+        """Returns a generator of fp32 waveform chunks (1, 1, n) as latent
+        blocks complete (pipeline.sample_pipeline_stream). Device work runs
+        off-thread under the device lock and hands chunks through a bounded
+        queue, so a slow consumer (stalled client socket) never
+        back-pressures the lock: it is released the moment the last block is
+        sampled, and other requests proceed while the buffered stream
+        drains. `buffer_chunks` bounds the buffered audio (256 blocks is
+        > 2 minutes — far past the 640-latent cap — so in practice the
+        device never blocks on the handoff). Closing the generator (client
+        disconnect) stops device work at the next block boundary.
+        `continuation_audio` seeds the blockwise prefix (its transcript must
+        be part of `text`).
 
+        With max_batch > 1, concurrent streams whose (sampler config, block
+        schedule, shape buckets) match are grouped by the micro-batcher and
+        run as ONE batched device stream (pipeline.
+        sample_pipeline_stream_batch) — per-stream audio identical to the
+        solo stream with the same seed. Continuations always stream solo."""
         sc = sc or SamplerConfig()
+        if self.max_batch > 1 and continuation_audio is None:
+            return self._generate_stream_queued(
+                text, speaker_audio, seed, sc, block_size, normalize_text,
+                buffer_chunks)
+        return self._generate_stream_direct(
+            text, speaker_audio, seed, sc, block_size, normalize_text,
+            continuation_audio, buffer_chunks)
+
+    def _generate_stream_queued(self, text, speaker_audio, seed, sc,
+                                block_size, normalize_text, buffer_chunks):
+        bs_key = (tuple(int(b) for b in block_size)
+                  if isinstance(block_size, (list, tuple))
+                  else (int(block_size),))
+        key = ("stream", bs_key,
+               self._batch_key(text, speaker_audio, sc, normalize_text))
+        req = _PendingStream(text, speaker_audio, seed, sc, normalize_text,
+                             bs_key, key, buffer_chunks)
+        with self._qcond:
+            if self._shutdown:
+                raise RuntimeError("engine is closed")
+            self._queue.append(req)
+            self._qcond.notify_all()
+        try:
+            while True:
+                item = req.queue.get()
+                if item is _PendingStream.END:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            req.gone.set()
+            while not req.queue.empty():
+                try:
+                    req.queue.get_nowait()
+                except Exception:
+                    break
+
+    def _generate_stream_direct(self, text, speaker_audio, seed, sc,
+                                block_size, normalize_text,
+                                continuation_audio, buffer_chunks):
+        import queue as _queue
         q: "_queue.Queue" = _queue.Queue(maxsize=max(1, buffer_chunks))
         _END = object()
         gone = threading.Event()  # consumer abandoned the stream

@@ -484,3 +484,76 @@ def test_stream_close_stops_device_work(tiny_tts):  # noqa: F811
     # lock must be (or become) free; a follow-up request succeeds
     audio, _, _ = eng.generate("After disconnect.", None, seed=4, sc=SC)
     assert np.isfinite(audio).all()
+
+
+def test_engine_stream_micro_batching_matches_serial(tiny_tts):  # noqa: F811
+    """max_batch>1: two concurrent generate_stream calls with matching
+    signatures run as ONE batched device stream and each client's audio
+    equals its solo stream with the same seed."""
+    import dataclasses
+    import threading
+
+    _, _, tts = tiny_tts
+    solo = Engine(dataclasses.replace(tts))
+    ref = {}
+    for seed, text in ((21, "Batch stream one."), (22, "Batch stream two.")):
+        chunks = list(solo.generate_stream(text, None, seed=seed, sc=SC,
+                                           block_size=8))
+        ref[seed] = np.concatenate(chunks, axis=-1)
+
+    eng = Engine(dataclasses.replace(tts), max_batch=2, batch_wait_ms=300.0)
+    try:
+        got = {}
+
+        def run(seed, text):
+            chunks = list(eng.generate_stream(text, None, seed=seed, sc=SC,
+                                              block_size=8))
+            got[seed] = np.concatenate(chunks, axis=-1)
+
+        t1 = threading.Thread(target=run, args=(21, "Batch stream one."))
+        t2 = threading.Thread(target=run, args=(22, "Batch stream two."))
+        t1.start(); t2.start()
+        t1.join(timeout=300); t2.join(timeout=300)
+        assert set(got) == {21, 22}
+        for seed in (21, 22):
+            assert got[seed].shape == ref[seed].shape
+            np.testing.assert_allclose(got[seed], ref[seed], atol=2e-5, rtol=0)
+        health = eng.health()
+        assert health["requests"] == 2
+        assert health["batches"] == 1  # grouped into one device stream
+    finally:
+        eng.close()
+
+
+def test_engine_stream_micro_batching_incompatible_split(tiny_tts):  # noqa: F811
+    """Streams with different block schedules (or stream vs non-stream) never
+    batch together; both still complete."""
+    import dataclasses
+    import threading
+
+    _, _, tts = tiny_tts
+    eng = Engine(dataclasses.replace(tts), max_batch=2, batch_wait_ms=50.0)
+    try:
+        out = {}
+
+        def run_stream(name, bs):
+            out[name] = np.concatenate(
+                list(eng.generate_stream(f"S {name}.", None, seed=5, sc=SC,
+                                         block_size=bs)), axis=-1)
+
+        def run_plain(name):
+            out[name] = eng.generate(f"P {name}.", None, seed=6, sc=SC)[0]
+
+        ts = [threading.Thread(target=run_stream, args=("a", 8)),
+              threading.Thread(target=run_stream, args=("b", (4, 12))),
+              threading.Thread(target=run_plain, args=("c",))]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=300)
+        assert set(out) == {"a", "b", "c"}
+        for v in out.values():
+            assert np.isfinite(v).all()
+        assert eng.health()["requests"] == 3
+    finally:
+        eng.close()

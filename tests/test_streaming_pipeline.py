@@ -186,3 +186,66 @@ def test_stream_continuation(tiny_tts):  # noqa: F811
     full = np.asarray(ae_decode(tts.ae_params, tts.ae_cfg, tts.pca, lat))
     np.testing.assert_allclose(streamed, full[:, :, cont_len * spl:],
                                atol=2e-5, rtol=0)
+
+
+def test_stream_batch_matches_serial(tiny_tts):  # noqa: F811
+    """sample_pipeline_stream_batch: two utterances through ONE device stream
+    per block equal their serial B=1 streams (per-seed noise rows, inert
+    bucket padding)."""
+    from echo_tts_tpu.pipeline.pipeline import sample_pipeline_stream_batch
+
+    _, _, tts = tiny_tts
+    reqs = [("First stream test.", None, 3), ("Second one differs.", None, 7)]
+
+    serial = []
+    for text, spk, seed in reqs:
+        chunks = list(sample_pipeline_stream(
+            tts, text, spk, rng_seed=seed, sc=SC, block_size=8,
+            normalize_text=True, stop_at_flattening=False))
+        serial.append(np.concatenate(chunks, axis=-1))
+
+    per_row = {0: [], 1: []}
+    for out in sample_pipeline_stream_batch(
+            tts, reqs, sc=SC, block_size=8, normalize_text=True,
+            stop_at_flattening=False):
+        for i, c in out.items():
+            per_row[i].append(c)
+    for i in range(2):
+        got = np.concatenate(per_row[i], axis=-1)
+        assert got.shape == serial[i].shape
+        np.testing.assert_allclose(got, serial[i], atol=2e-5, rtol=0)
+
+
+def test_stream_batch_early_stop_per_row(tiny_tts, monkeypatch):  # noqa: F811
+    """Per-row flattening stop: a row that flattens early disappears from the
+    emission dicts and never emits past its point; the other row streams to
+    completion; the batch stops sampling once ALL rows stopped."""
+    import dataclasses
+
+    from echo_tts_tpu.pipeline import flattening
+    from echo_tts_tpu.pipeline.pipeline import sample_pipeline_stream_batch
+
+    _, _, tts = tiny_tts
+    sc = dataclasses.replace(SC, sequence_length=64)
+    spl = tts.ae_cfg.frame_length
+
+    calls = {}
+
+    def fake_fp(data, **kw):
+        # row identity via id of the array is fragile; key on data length +
+        # a per-call counter: row 0 flattens at 30, row 1 never
+        i = calls.get(data.shape, 0)
+        calls[data.shape] = i + 1
+        return np.int32(min(30, data.shape[0]) if i % 2 == 0 else data.shape[0])
+
+    monkeypatch.setattr(flattening, "find_flattening_point", fake_fp)
+    reqs = [("Stops early.", None, 1), ("Runs long.", None, 2)]
+    totals = {0: 0, 1: 0}
+    for out in sample_pipeline_stream_batch(tts, reqs, sc=sc, block_size=32,
+                                            normalize_text=True):
+        for i, c in out.items():
+            totals[i] += c.shape[-1]
+    # row 0: exactly 30 frames; row 1: full 64 (its fake fp == length => no
+    # stop until final block emits everything)
+    assert totals[0] == 30 * spl
+    assert totals[1] == 64 * spl
