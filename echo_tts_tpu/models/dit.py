@@ -300,6 +300,11 @@ def extend_latent_kv(params: dict, cfg: DiTConfig, state: dict,
     return {"enc_k": enc_k, "enc_v": enc_v, "k": k_cache, "v": v_cache}
 
 
+# module-level jitted form for standalone (continuation-seeding) callers: a
+# fresh jax.jit per call would retrace/recompile every request
+extend_latent_kv_jit = jax.jit(extend_latent_kv, static_argnames=("cfg",))
+
+
 # ---------------------------------------------------------------------------
 # DiT trunk forward
 # ---------------------------------------------------------------------------

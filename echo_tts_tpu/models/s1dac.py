@@ -730,24 +730,28 @@ def _tconv_stream_cl(x_cl, tail_cl, w, b, *, kernel_size: int, stride: int):
     return y[:, ctx * stride:], xw[:, -ctx:]
 
 
-def _res_chain_stream_cl(x_cl, tail_cl, units, dilations, seq_start):
+def _res_chain_stream_cl(x_cl, tail_cl, units, dilations, pad_rows):
     """Residual-unit chain with a carried chain-input tail (ctx =
-    ops.pallas_conv.chain_ctx rows). seq_start (traced bool): tail rows are
-    re-zeroed after every unit — they stand for each conv's own causal pad
-    and unit outputs are nonzero on zero input (biases)."""
+    ops.pallas_conv.chain_ctx rows). pad_rows (traced int32): how many
+    LEADING tail rows still stand for the pre-sequence causal pad — they are
+    re-zeroed after every unit (unit outputs are nonzero on zero input —
+    biases — but the reference zero-pads each conv's OWN input). This is
+    clamp(ctx - rows_consumed, 0, ctx), NOT a seq-start boolean: when early
+    chunks are shorter than ctx, part of the tail remains pad for several
+    chunks (a seq-start-only re-zero corrupted the second chunk of short
+    streams — caught by the perturbed-bias tests)."""
     from echo_tts_tpu.ops.pallas_conv import res_units_cl
 
     ctx = tail_cl.shape[1]
     xw = jnp.concatenate([tail_cl, x_cl], axis=1)
     impl = _pick_conv_impl()
-    zb = jnp.where(seq_start, jnp.int32(ctx), jnp.int32(0))
     if impl in ("pallas", "pallas_interpret"):
         y = res_units_cl(xw, units, dilations,
-                         interpret=(impl == "pallas_interpret"), zero_below=zb)
+                         interpret=(impl == "pallas_interpret"),
+                         zero_below=pad_rows)
     else:
         y = xw
-        in_tail = (jnp.arange(xw.shape[1]) < ctx)[None, :, None]
-        dead = jnp.logical_and(seq_start, in_tail)
+        dead = (jnp.arange(xw.shape[1])[None, :, None] < pad_rows)
         for u, d in zip(units, dilations):
             y = _residual_unit_cl(y, u, dilation=d)
             y = jnp.where(dead, jnp.zeros_like(y), y)
@@ -853,7 +857,6 @@ def decode_zq_stream_step(params: dict, cfg: AEConfig, state: dict,
     (tests/test_streaming_decode.py); per-step cost is O(S). Jit with static
     (cfg, max_positions) and donate the state (decode_zq_stream_step_jit)."""
     pos = state["pos"]
-    seq_start = pos == 0
 
     y, kv = _window_transformer_stream(
         z_chunk, params["quantizer"]["post_module"], state["kv"], pos,
@@ -875,15 +878,22 @@ def decode_zq_stream_step(params: dict, cfg: AEConfig, state: dict,
     x = y.transpose(0, 2, 1)  # channels-last through the decoder
     x, stem_tail = _conv_stream_cl(x, state["stem"], dec["stem"]["w"],
                                    dec["stem"].get("b"), kernel_size=7)
+    up_rate = 1
+    for f in cfg.downsample_factor:
+        up_rate *= f
     block_tails = []
+    rate = up_rate
     for i, stride in enumerate(cfg.decoder_rates):
         blk = dec["blocks"][i]
+        rate *= stride  # chain i runs at rate z_q-frames * rate rows
         x = _snake_cl(x, blk["snake"].reshape(-1))
         x, t_tail = _tconv_stream_cl(x, state["blocks"][i]["tconv"],
                                      blk["up"]["w"], blk["up"].get("b"),
                                      kernel_size=2 * stride, stride=stride)
+        ctx_i = state["blocks"][i]["chain"].shape[1]
+        pad_rows = jnp.clip(ctx_i - pos * rate, 0, ctx_i).astype(jnp.int32)
         x, c_tail = _res_chain_stream_cl(x, state["blocks"][i]["chain"],
-                                         blk["res_units"], (1, 3, 9), seq_start)
+                                         blk["res_units"], (1, 3, 9), pad_rows)
         block_tails.append({"tconv": t_tail, "chain": c_tail})
     x = _snake_cl(x, dec["head_snake"].reshape(-1))
     x, head_tail = _conv_stream_cl(x, state["head"], dec["head"]["w"],

@@ -66,14 +66,17 @@ def _res_chain_kernel(zb_ref, x_cur, x_prev, a1, a2, w7, b7, w1, b1, o_ref, *,
     x = jnp.concatenate([prev_tail, cur], axis=0)  # (H + TQ, C)
     twin = x.shape[0]
     in_dtype = x.dtype
-    # Rows of tile 0 below zb_ref stand for each conv's own causal zero pad
-    # and must be re-zeroed after every unit (unit outputs are nonzero on
-    # zero input — biases — but the reference zero-pads each conv's OWN
-    # input). Whole-sequence calls pass zb = halo (the prefix IS the
-    # pre-sequence pad); streaming mid-chunk calls pass zb = 0 — their tile-0
-    # prefix holds REAL previous input whose outputs the caller crops.
+    # Tile 0's window is [synthetic zero prefix (halo rows) | sequence rows].
+    # The prefix stands for each conv's own causal zero pad and must be
+    # re-zeroed after every unit (unit outputs are nonzero on zero input —
+    # biases — but the reference zero-pads each conv's OWN input). zb_ref is
+    # the count of EXTRA leading SEQUENCE rows with the same
+    # stands-for-the-pad meaning: streaming callers whose sequence starts
+    # with a zero-initialized carried tail pass the tail length at stream
+    # start (the tail rows sit at window rows [halo, halo+zb) — window
+    # coordinates include the prefix) and 0 mid-stream.
     row = jax.lax.broadcasted_iota(jnp.int32, (twin, 1), 0)
-    live = jnp.logical_or(ii > 0, row >= zb_ref[0])
+    live = jnp.logical_or(ii > 0, row >= halo + zb_ref[0])
 
     for u, d in enumerate(dilations):
         # snake1 (fp32 on the VPU, cast back for the MXU)
@@ -119,11 +122,13 @@ def fused_res_chain_cl(x: jnp.ndarray, units: Sequence[dict],
     conv2 {w (O,I,1), b}} — same pytree as models.s1dac._residual_unit_cl.
     Matches the XLA path bit-for-tolerance (tests/test_pallas_conv.py).
 
-    zero_below: optional traced int32 — rows of the sequence below this index
-    are re-zeroed after every unit (they stand for the causal zero pad).
-    Default (None) = the chain halo, i.e. x starts the sequence. Streaming
-    callers whose x is [carried tail | chunk] pass chain_ctx(...) when the
-    stream starts and 0 mid-stream (the tail then holds real context).
+    zero_below: optional traced int32 — EXTRA leading SEQUENCE rows (beyond
+    the kernel's own synthetic zero prefix, which is always re-zeroed)
+    re-zeroed after every unit because they stand for the causal zero pad.
+    Default (None/0) = x starts the sequence with no carried rows. Streaming
+    callers whose x is [carried tail | chunk] pass the tail length
+    (chain_ctx(...)) when the stream starts — zero-initialized tail rows ARE
+    the pad — and 0 mid-stream (the tail then holds real context).
     """
     b, t, c = x.shape
     n = len(units)
@@ -131,7 +136,7 @@ def fused_res_chain_cl(x: jnp.ndarray, units: Sequence[dict],
 
     halo = _round_up(sum((kernel_size - 1) * d for d in dilations), 16)
     if zero_below is None:
-        zero_below = halo
+        zero_below = 0
     zb = jnp.reshape(jnp.asarray(zero_below, jnp.int32), (1,))
     # shrink the time tile as channels grow so window temps + weights fit
     # VMEM (~0.4 MB per in/out block, several fp32 temps of window size)

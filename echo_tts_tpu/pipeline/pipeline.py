@@ -410,7 +410,7 @@ def stream_blocks_fused(dit_params, dit_cfg, sc, ae_params, ae_cfg, pca,
         rest = list(enumerate(block_sizes))[1:]
     else:
         from echo_tts_tpu.models.dit import (
-            extend_latent_kv,
+            extend_latent_kv_jit,
             get_kv_cache_speaker,
             get_kv_cache_text,
             init_latent_kv_state,
@@ -429,7 +429,7 @@ def stream_blocks_fused(dit_params, dit_cfg, sc, ae_params, ae_cfg, pca,
         # seed both carried states with the continuation region: the
         # incremental latent KV in one append, the vocoder state by decoding
         # (and discarding) the seed audio in chunks
-        lat_state = jax.jit(extend_latent_kv, static_argnames=("cfg",))(
+        lat_state = extend_latent_kv_jit(
             dit_params, dit_cfg, lat_state,
             continuation_latent.astype(model_dtype), jnp.int32(0))
         z_cont = _pca_mod.deproject(pca, prefix[:, :cont_len]).astype(ae_dtype)

@@ -108,7 +108,7 @@ def sample_blockwise_stream(
     are sampled lazily, so unconsumed blocks cost nothing. State between
     blocks stays device-resident (the prefix buffer is donated into each
     `_sample_block`, SURVEY.md §5.7)."""
-    from echo_tts_tpu.models.dit import extend_latent_kv, init_latent_kv_state
+    from echo_tts_tpu.models.dit import extend_latent_kv_jit, init_latent_kv_state
 
     b = text_input_ids.shape[0]
     kv_text = get_kv_cache_text(params, cfg, text_input_ids, text_mask)
@@ -122,7 +122,7 @@ def sample_blockwise_stream(
     if continuation_latent is not None:
         prefix = prefix.at[:, :cont_len].set(continuation_latent.astype(jnp.float32))
         # seed the incremental caches with the continuation region
-        lat_state = jax.jit(extend_latent_kv, static_argnames=("cfg",))(
+        lat_state = extend_latent_kv_jit(
             params, cfg, lat_state,
             continuation_latent.astype(model_dtype), jnp.int32(0))
 

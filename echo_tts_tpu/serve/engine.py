@@ -103,15 +103,9 @@ class _PendingStream:
         self.gone = threading.Event()
 
     def push(self, item) -> bool:
-        import queue as _q
+        from echo_tts_tpu.utils.queues import put_until_abandoned
 
-        while not self.gone.is_set():
-            try:
-                self.queue.put(item, timeout=0.1)
-                return True
-            except _q.Full:
-                continue
-        return False
+        return put_until_abandoned(self.queue, item, self.gone)
 
 
 class Engine:
@@ -225,10 +219,25 @@ class Engine:
         seed: int = 0,
         sc: Optional[SamplerConfig] = None,
         normalize_text: bool = True,
+        pipe_overrides: Optional[dict] = None,
     ):
-        """Returns (audio (1, 1, T) float32, normalized_text, timings)."""
+        """Returns (audio (1, 1, T) float32, normalized_text, timings).
+
+        pipe_overrides: optional PipelineConfig field overrides for THIS
+        request (e.g. {"text_buckets": (256,), "speaker_buckets": (640,)} —
+        the reference UI's custom-shape feature, gradio_app.py:315-345).
+        Applied to a per-request copy of the EchoTTS container, never the
+        shared one; overridden requests bypass micro-batching (their shapes
+        would not group anyway)."""
         sc = sc or SamplerConfig()
-        if self.max_batch > 1:
+        tts = self.tts
+        if pipe_overrides:
+            import dataclasses
+
+            tts = dataclasses.replace(
+                tts, pipe_cfg=dataclasses.replace(tts.pipe_cfg,
+                                                  **pipe_overrides))
+        if self.max_batch > 1 and not pipe_overrides:
             return self._generate_queued(text, speaker_audio, seed, sc,
                                          normalize_text)
         last_err = None
@@ -237,7 +246,7 @@ class Engine:
                 with self._lock:
                     t0 = time.perf_counter()
                     audio, normalized, timings = sample_pipeline(
-                        self.tts, text, speaker_audio, seed, sc=sc,
+                        tts, text, speaker_audio, seed, sc=sc,
                         normalize_text=normalize_text,
                         speaker_cache=self._speaker_cache)
                     wall = time.perf_counter() - t0
@@ -507,11 +516,9 @@ class Engine:
                 yield item
         finally:
             req.gone.set()
-            while not req.queue.empty():
-                try:
-                    req.queue.get_nowait()
-                except Exception:
-                    break
+            from echo_tts_tpu.utils.queues import drain
+
+            drain(req.queue)
 
     def _generate_stream_direct(self, text, speaker_audio, seed, sc,
                                 block_size, normalize_text,
@@ -521,14 +528,10 @@ class Engine:
         _END = object()
         gone = threading.Event()  # consumer abandoned the stream
 
+        from echo_tts_tpu.utils.queues import drain, put_until_abandoned
+
         def handoff(item) -> bool:
-            while not gone.is_set():
-                try:
-                    q.put(item, timeout=0.1)
-                    return True
-                except _queue.Full:
-                    continue
-            return False
+            return put_until_abandoned(q, item, gone)
 
         def work():
             gen = self._stream_device_locked(
@@ -557,11 +560,7 @@ class Engine:
                 yield item
         finally:
             gone.set()
-            while not q.empty():  # unblock a worker mid-handoff
-                try:
-                    q.get_nowait()
-                except _queue.Empty:
-                    break
+            drain(q)  # unblock a worker mid-handoff
 
     def _stream_device_locked(self, text, speaker_audio, seed, sc, block_size,
                               normalize_text, continuation_audio, gone):

@@ -250,13 +250,16 @@ def build_app(engine: Engine, presets: Optional[dict] = None,
             "gradio is not installed; use echo_tts_tpu.serve.server for the "
             "HTTP API, or `pip install gradio` for the UI") from e
 
-    raw_presets = dict(DEFAULT_SAMPLER_PRESETS)
-    if os.path.exists(presets_path):
-        with open(presets_path) as f:
-            raw_presets = json.load(f)
-    elif presets is not None:
+    # precedence: explicit argument > presets file > built-in defaults (an
+    # explicit argument must never be silently shadowed by a file in cwd)
+    if presets is not None:
         raw_presets = {k: (v.__dict__ if isinstance(v, SamplerConfig) else v)
                        for k, v in presets.items()}
+    elif os.path.exists(presets_path):
+        with open(presets_path) as f:
+            raw_presets = json.load(f)
+    else:
+        raw_presets = dict(DEFAULT_SAMPLER_PRESETS)
     sr_out = engine.tts.ae_cfg.sample_rate
     tmp = Path(temp_dir or (Path.cwd() / "echo_outputs"))
     tmp.mkdir(parents=True, exist_ok=True)
@@ -276,16 +279,28 @@ def build_app(engine: Engine, presets: Optional[dict] = None,
         fields = _fields_from_args(num_steps, cfg_text, cfg_speaker, cfg_min_t,
                                    cfg_max_t, trunc, rk, rs, force, kvs, kvmt,
                                    kvml)
+        lat_buckets = parse_buckets(latent_length) if use_custom_shapes else None
         sc = build_sampler_config(
             SamplerConfig(), fields,
-            parse_buckets(latent_length)[0] if (use_custom_shapes and
-                                                parse_buckets(latent_length))
-            else None)
+            lat_buckets[-1] if lat_buckets else None)  # single value; a list
+        #   takes the largest (the field is a generation LENGTH, not buckets)
         audio_in = prepare_speaker_audio(speaker, sr_out)
 
+        # custom shape buckets (reference: gradio_app.py:315-345, 896-927):
+        # entered comma-lists replace the pipeline's pad buckets per request
+        pipe_overrides = {}
+        if use_custom_shapes:
+            tb = parse_buckets(text_buckets)
+            sb = parse_buckets(speaker_buckets)
+            if tb:
+                pipe_overrides["text_buckets"] = tb
+            if sb:
+                pipe_overrides["speaker_buckets"] = sb
+
         t0 = time.time()
-        audio, normalized, _ = engine.generate(text, audio_in,
-                                               seed=int(seed), sc=sc)
+        audio, normalized, _ = engine.generate(
+            text, audio_in, seed=int(seed), sc=sc,
+            pipe_overrides=pipe_overrides or None)
         elapsed = time.time() - t0
 
         # save with session hygiene; mp3 falls back to WAV
@@ -437,41 +452,56 @@ def build_app(engine: Engine, presets: Optional[dict] = None,
         gr.Markdown("## Generation")
         mode = gr.Radio(["Simple Mode", "Advanced Mode"], value="Simple Mode",
                         label="")
+        # initial field values come from the initially-selected preset —
+        # gradio fires no change event for the initial dropdown value, so
+        # hardcoded defaults would silently diverge from the displayed preset
+        first_name = (list(raw_presets) or ["Custom"])[0]
+        init = (apply_sampler_preset_fields(raw_presets, first_name)
+                or apply_sampler_preset_fields({"_": {}}, "_"))
         with gr.Accordion("Generation Parameters", open=True):
             with gr.Row():
                 preset_dd = gr.Dropdown(["Custom"] + list(raw_presets),
-                                        value=(list(raw_presets) or ["Custom"])[0],
+                                        value=first_name,
                                         label="Sampler Preset")
-                steps = gr.Number(value=40, precision=0, minimum=5,
-                                  maximum=80, label="Steps")
+                steps = gr.Number(value=init["num_steps"], precision=0,
+                                  minimum=5, maximum=80, label="Steps")
                 seed = gr.Number(value=0, precision=0, label="RNG Seed")
             with gr.Row():
                 preset_name = gr.Textbox(label="Save preset as", lines=1)
                 preset_save_btn = gr.Button("Save preset")
                 preset_save_status = gr.Markdown("")
-            force = gr.Checkbox(label='"Force Speaker" (KV scaling)')
-            with gr.Row(visible=False) as kv_row:
-                kv_scale = gr.Number(value=1.5, label="KV Scale", minimum=0)
-                kv_min_t = gr.Number(value=0.9, label="KV Min t", minimum=0,
-                                     maximum=1)
-                kv_layers = gr.Number(value=24, precision=0, minimum=0,
-                                      maximum=24, label="Max Layers")
+            force = gr.Checkbox(label='"Force Speaker" (KV scaling)',
+                                value=init["speaker_kv_enable"])
+            with gr.Row(visible=init["speaker_kv_enable"]) as kv_row:
+                kv_scale = gr.Number(value=init["speaker_kv_scale"],
+                                     label="KV Scale", minimum=0)
+                kv_min_t = gr.Number(value=init["speaker_kv_min_t"],
+                                     label="KV Min t", minimum=0, maximum=1)
+                kv_layers = gr.Number(value=init["speaker_kv_max_layers"],
+                                      precision=0, minimum=0, maximum=24,
+                                      label="Max Layers")
             with gr.Column(visible=False) as advanced:
                 with gr.Row():
-                    trunc = gr.Number(value=0.8, label="Truncation Factor",
-                                      minimum=0)
-                    rk = gr.Number(value=1.2, label="Rescale k", minimum=0)
-                    rs = gr.Number(value=3.0, label="Rescale σ", minimum=0)
+                    trunc = gr.Number(value=init["truncation_factor"],
+                                      label="Truncation Factor", minimum=0)
+                    rk = gr.Number(value=init["rescale_k"], label="Rescale k",
+                                   minimum=0)
+                    rs = gr.Number(value=init["rescale_sigma"],
+                                   label="Rescale σ", minimum=0)
                     trunc_flat = gr.Button("flat", size="sm")
                     trunc_sharp = gr.Button("sharp", size="sm")
                     trunc_base = gr.Button("baseline(sharp)", size="sm")
                 with gr.Row():
-                    cfg_t = gr.Number(value=3.0, label="Text CFG", minimum=0)
-                    cfg_s = gr.Number(value=5.0, label="Speaker CFG", minimum=0)
-                    cfg_min = gr.Number(value=0.5, label="CFG Min t",
-                                        minimum=0, maximum=1)
-                    cfg_max = gr.Number(value=1.0, label="CFG Max t",
-                                        minimum=0, maximum=1)
+                    cfg_t = gr.Number(value=init["cfg_scale_text"],
+                                      label="Text CFG", minimum=0)
+                    cfg_s = gr.Number(value=init["cfg_scale_speaker"],
+                                      label="Speaker CFG", minimum=0)
+                    cfg_min = gr.Number(value=init["cfg_min_t"],
+                                        label="CFG Min t", minimum=0,
+                                        maximum=1)
+                    cfg_max = gr.Number(value=init["cfg_max_t"],
+                                        label="CFG Max t", minimum=0,
+                                        maximum=1)
                     cfg_higher = gr.Button("higher speaker", size="sm")
                     cfg_large = gr.Button("large guidances", size="sm")
                 use_shapes = gr.Checkbox(label="Use Custom Shapes (Advanced)")

@@ -170,18 +170,14 @@ def batches_prefetch(dataset: EchoTTSDataset, batch_size: int,
     _END = object()
     stop = threading.Event()
 
+    from echo_tts_tpu.utils.queues import drain, put_until_abandoned
+
     def _put(item) -> bool:
         # bounded put that gives up when the consumer is gone: without the
         # stop check an abandoned generator (exception in the epoch loop)
         # would leave this thread blocked on a full queue forever, pinning
         # collated batches in memory
-        while not stop.is_set():
-            try:
-                q.put(item, timeout=0.1)
-                return True
-            except queue.Full:
-                continue
-        return False
+        return put_until_abandoned(q, item, stop)
 
     def produce():
         try:
@@ -204,11 +200,7 @@ def batches_prefetch(dataset: EchoTTSDataset, batch_size: int,
             yield item
     finally:
         stop.set()
-        while not q.empty():  # unblock a producer mid-put
-            try:
-                q.get_nowait()
-            except queue.Empty:
-                break
+        drain(q)  # unblock a producer mid-put
         t.join(timeout=5)
 
 

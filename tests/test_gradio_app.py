@@ -254,3 +254,78 @@ def test_build_app_wiring_and_real_generation(tiny_tts, stub_gradio,  # noqa: F8
     assert len(apply_outputs) == 13
     updates = apply_fn("FromUI")
     assert updates[0]["value"] == 25 and updates[2]["value"] == 6.5
+
+
+def test_custom_shapes_reach_engine(tiny_tts, stub_gradio, tmp_path):  # noqa: F811
+    """'Use Custom Shapes' bucket fields actually override the pipeline
+    buckets for the request (review finding: they were wired but ignored),
+    and the latent-length field takes the largest entry, not the smallest."""
+    _, _, tts = tiny_tts
+    eng = Engine(tts)
+    seen = {}
+    real_generate = eng.generate
+
+    def spy(*a, **k):
+        seen.update(k)
+        return real_generate(*a, **k)
+
+    eng.generate = spy
+    demo = ga.build_app(eng, presets_path=str(tmp_path / "p.json"),
+                        text_presets_path=str(tmp_path / "t.txt"),
+                        temp_dir=str(tmp_path / "out"))
+    assert demo is not None
+    gen_fn = next(fn for _e, fn, _i, _o in stub_gradio
+                  if getattr(fn, "__name__", "") == "generate")
+    gen_fn(None, "Shapes test.", None, "wav",
+           2, 3.0, 5.0, 0.5, 1.0, 0.8, 1.2, 3.0, False, 1.5, 0.9, 24,
+           1, "32, 64", "16, 32", "8, 16", True, False, False)
+    assert seen["pipe_overrides"] == {"text_buckets": (32, 64),
+                                      "speaker_buckets": (16, 32)}
+    assert seen["sc"].sequence_length == 16  # largest latent-length entry
+
+    seen.clear()
+    gen_fn(None, "No shapes.", None, "wav",
+           2, 3.0, 5.0, 0.5, 1.0, 0.8, 1.2, 3.0, False, 1.5, 0.9, 24,
+           1, "32", "16", "8", False, False, False)  # checkbox OFF
+    assert seen["pipe_overrides"] is None
+
+
+def test_initial_fields_match_first_preset(tiny_tts, stub_gradio, tmp_path):  # noqa: F811
+    """The initially-selected preset's values ARE the initial field values
+    (gradio fires no change event for the initial dropdown value)."""
+    _, _, tts = tiny_tts
+    presets = {"Loud": {"num_steps": "24", "cfg_scale_speaker": "9.0",
+                        "truncation_factor": "0.7",
+                        "speaker_kv_enable": "true",
+                        "speaker_kv_scale": "1.8"}}
+    demo = ga.build_app(Engine(tts), presets=presets,
+                        presets_path=str(tmp_path / "p.json"),
+                        text_presets_path=str(tmp_path / "t.txt"),
+                        temp_dir=str(tmp_path / "out"))
+    assert demo is not None
+    # apply_sampler_preset_fields is the single source the builder reads for
+    # initial component values — assert the derived init dict directly
+    init = ga.apply_sampler_preset_fields(presets, "Loud")
+    assert init["num_steps"] == 24 and init["cfg_scale_speaker"] == 9.0
+    assert init["speaker_kv_enable"] is True and init["speaker_kv_scale"] == 1.8
+
+
+def test_presets_argument_beats_file(tmp_path, tiny_tts, stub_gradio):  # noqa: F811
+    """An explicit presets= argument is never shadowed by a
+    sampler_presets.json sitting in the path (review finding)."""
+    import json as _json
+
+    _, _, tts = tiny_tts
+    p = tmp_path / "sampler_presets.json"
+    p.write_text(_json.dumps({"FromFile": {"num_steps": "10"}}))
+    demo = ga.build_app(Engine(tts), presets={"FromArg": {"num_steps": "20"}},
+                        presets_path=str(p),
+                        text_presets_path=str(tmp_path / "t.txt"),
+                        temp_dir=str(tmp_path / "out"))
+    assert demo is not None
+    apply_fn = next(fn for _e, fn, _i, _o in stub_gradio
+                    if getattr(fn, "__name__", "") == "apply_preset")
+    updates = apply_fn("FromArg")
+    assert updates[0]["value"] == 20
+    assert apply_fn("FromFile") == [{}] * 13 or all(
+        u == {} for u in apply_fn("FromFile"))

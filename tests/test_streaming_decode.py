@@ -69,24 +69,81 @@ def test_stateful_streaming_matches_full(ae):
     np.testing.assert_allclose(streamed, full, atol=2e-5, rtol=1e-4)
 
 
+def _with_perturbed_res_biases(params, seed=0):
+    """Copy of the AE params with NONZERO residual-unit conv biases.
+
+    The tiny torch init zero-inits conv biases, making the streaming
+    zero_below semantics unobservable (unit(0) == 0) — which masked a real
+    kernel-coordinate bug in round 3. Every chain-stream test must run with
+    biases that make unit(0) != 0."""
+    import copy
+
+    params = copy.deepcopy(params)
+    rng = np.random.default_rng(seed)
+
+    def bump(conv):
+        b = conv.get("b")
+        if b is None:
+            b = np.zeros(conv["w"].shape[0], np.float32)
+        conv["b"] = jnp.asarray(
+            np.asarray(b) + 0.3 * rng.standard_normal(np.asarray(b).shape)
+        ).astype(jnp.float32)
+
+    for section in ("decoder", "encoder"):
+        for blk in params[section]["blocks"]:
+            for unit in blk["res_units"]:
+                bump(unit["conv1"])
+                bump(unit["conv2"])
+    return params
+
+
 def test_stateful_streaming_matches_full_pallas_interpret(ae):
-    """Same equality through the Pallas res-chain kernel (interpret mode):
-    exercises the kernel's zero_below streaming semantics — tail rows
-    re-zeroed per unit at the stream start, live mid-stream."""
+    """Same equality through the Pallas res-chain kernel (interpret mode)
+    with PERTURBED (nonzero) residual-unit biases, calling the step
+    UNJITTED: exercises the kernel's zero_below streaming semantics for
+    real — tail rows re-zeroed per unit at the stream start, live
+    mid-stream. (The jitted wrapper's cache key excludes the conv-impl
+    global, and zero biases make the semantics unobservable; both masked a
+    real bug once.)"""
     import torch
 
+    pert = _with_perturbed_res_biases(ae, seed=4)
     g = torch.Generator().manual_seed(4)
     z_q = jnp.asarray(torch.randn(1, ACFG.latent_dim, 24, generator=g).numpy() * 0.3)
 
-    s1dac.set_conv_impl("pallas_interpret")
+    s1dac.set_conv_impl("xla")
     try:
-        full = np.asarray(s1dac.decode_zq(ae, ACFG, z_q))
-        chunks = list(s1dac.decode_zq_streaming_stateful(ae, ACFG, z_q,
-                                                         chunk_frames=8))
+        full = np.asarray(s1dac.decode_zq(pert, ACFG, z_q))  # eager, XLA truth
+        s1dac.set_conv_impl("pallas_interpret")
+        state = s1dac.streaming_decode_init(pert, ACFG, 1, dtype=z_q.dtype)
+        chunks = []
+        for start in range(0, z_q.shape[-1], 8):
+            audio, state = s1dac.decode_zq_stream_step(  # UNJITTED on purpose
+                pert, ACFG, state, z_q[:, :, start:start + 8], 1024)
+            chunks.append(np.asarray(audio))
     finally:
         s1dac.set_conv_impl("auto")
-    streamed = np.concatenate([np.asarray(c) for c in chunks], axis=-1)
+    streamed = np.concatenate(chunks, axis=-1)
     np.testing.assert_allclose(streamed, full, atol=2e-5, rtol=1e-4)
+
+
+def test_stateful_streaming_xla_perturbed_biases(ae):
+    """The XLA streaming fallback under the same nonzero-bias regime (its
+    per-unit re-zero mirrors the kernel's)."""
+    import torch
+
+    pert = _with_perturbed_res_biases(ae, seed=5)
+    g = torch.Generator().manual_seed(5)
+    z_q = jnp.asarray(torch.randn(1, ACFG.latent_dim, 24, generator=g).numpy() * 0.3)
+    full = np.asarray(s1dac.decode_zq(pert, ACFG, z_q))
+    state = s1dac.streaming_decode_init(pert, ACFG, 1, dtype=z_q.dtype)
+    chunks = []
+    for start in range(0, 24, 8):
+        audio, state = s1dac.decode_zq_stream_step(
+            pert, ACFG, state, z_q[:, :, start:start + 8], 1024)
+        chunks.append(np.asarray(audio))
+    np.testing.assert_allclose(np.concatenate(chunks, axis=-1), full,
+                               atol=2e-5, rtol=1e-4)
 
 
 def test_stateful_streaming_chunk_invariance(ae):
