@@ -146,23 +146,57 @@ def main():
         zq = jax.random.normal(jax.random.fold_in(key, 7),
                                (batch, ae_cfg.latent_dim, SEQ),
                                dtype=jnp.bfloat16) * 0.3
+        # make bias-driven pad/streaming semantics observable: random init
+        # zero-inits conv biases, and unit(0)==0 hid a real streaming
+        # pad-re-zero bug. Perturb every decoder res-unit bias (same params
+        # feed both paths, so parity math is unchanged).
+        ae_chk = jax.tree_util.tree_map(lambda x: x, ae_params)
+        bkey = jax.random.fold_in(key, 11)
+        for blk in ae_chk["decoder"]["blocks"]:
+            for u in blk["res_units"]:
+                for cname in ("conv1", "conv2"):
+                    bkey, k2 = jax.random.split(bkey)
+                    w = u[cname]["w"]
+                    u[cname]["b"] = (0.3 * jax.random.normal(
+                        k2, (w.shape[0],), jnp.float32)).astype(w.dtype)
+
         vouts = {}
-        for impl in ("pallas", "xla"):
+        for impl in ("xla", "pallas"):
             _s1d.set_conv_impl(impl)
             g = jax.jit(lambda p, z: _s1d.decode_zq(p, ae_cfg, z))
-            vouts[impl] = np.asarray(g(ae_params, zq), np.float32)
-        _s1d.set_conv_impl("auto")
+            vouts[impl] = np.asarray(g(ae_chk, zq), np.float32)
         conv_rel = rel(vouts["pallas"], vouts["xla"])
+
+        # streaming gate (impl still "pallas"): the COMPILED stateful decode
+        # over the serving block schedule must match the full decode
+        # PER BLOCK (a localized first-chunk error disappears into a
+        # whole-waveform norm) — the round-3 streaming pad-re-zero bug was
+        # invisible to the full-decode gate above and to interpret-mode CPU
+        # tests
+        st = _s1d.streaming_decode_init(ae_chk, ae_cfg, batch,
+                                        dtype=jnp.bfloat16)
+        stream_rel, off = 0.0, 0
+        spl = ae_cfg.frame_length
+        for bs_ in (64, 192, 192, 192):
+            a, st = _s1d.decode_zq_stream_step_jit(
+                ae_chk, ae_cfg, st, zq[:, :, off:off + bs_], 1024)
+            ref_slice = vouts["pallas"][:, :, off * spl:(off + bs_) * spl]
+            stream_rel = max(stream_rel, rel(np.asarray(a, np.float32),
+                                             ref_slice))
+            off += bs_
+        _s1d.set_conv_impl("auto")
 
         # bf16 outputs: rounding alone gives ~1e-3 rel-L2 between two exact
         # formulations; a miscompile gives O(1). 2e-2 cleanly separates.
-        ok = attn_rel < 2e-2 and conv_rel < 2e-2
+        ok = attn_rel < 2e-2 and conv_rel < 2e-2 and stream_rel < 2e-2
         print(f"# kernel check @serving shapes: attention rel {attn_rel:.2e},"
-              f" vocoder chains rel {conv_rel:.2e}", file=sys.stderr)
+              f" vocoder chains rel {conv_rel:.2e},"
+              f" streaming decode per-block rel {stream_rel:.2e}",
+              file=sys.stderr)
         print(json.dumps({
             "metric": "on-chip kernel-vs-XLA rel error (CFG fwd @640; "
-                      "decode_zq @640)",
-            "value": round(max(attn_rel, conv_rel), 8),
+                      "decode_zq @640; streamed decode @64+192x3)",
+            "value": round(max(attn_rel, conv_rel, stream_rel), 8),
             "unit": "rel_l2",
             "vs_baseline": 1.0 if ok else 0.0,
             "pass": ok,
