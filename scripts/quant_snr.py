@@ -40,7 +40,12 @@ SEQ, TEXT, SPK = 640, 768, 6400
 
 def main():
     encoders = "--encoders" in sys.argv  # also quantize encoder/KV-proj GEMMs
-    cfg = DiTConfig(has_latent_modules=False)
+    # --blockwise: measure the STREAMING path instead (blockwise sampler +
+    # stateful vocoder, blocks 64+192x3) — int8 noise could compound across
+    # blocks because each block conditions on the previous quantized outputs
+    # through the latent-prefix KV
+    blockwise = "--blockwise" in sys.argv
+    cfg = DiTConfig(has_latent_modules=blockwise)
     ae_cfg = AEConfig()
     sc = SamplerConfig(num_steps=40, cfg_scale_text=3.0, cfg_scale_speaker=8.0,
                        cfg_min_t=0.5, cfg_max_t=1.0, truncation_factor=0.8,
@@ -59,12 +64,34 @@ def main():
     smask = jnp.ones((1, SPK), jnp.bool_)
     noise = draw_noise(0, (1, SEQ, cfg.latent_size))
 
-    def run(p):
-        lat = sample_euler_cfg_independent_guidances(
-            p, cfg, sc, spk, smask, ids, tmask, noise, model_dtype=jnp.bfloat16)
-        z_q = pca_mod.deproject(pca, lat)
-        audio = decode_zq(ae_params, ae_cfg, z_q.astype(jnp.bfloat16))
-        return np.asarray(lat), np.asarray(audio, dtype=np.float32)
+    if blockwise:
+        from echo_tts_tpu.pipeline.pipeline import (
+            _block_schedule,
+            stream_blocks_fused,
+        )
+
+        blocks = _block_schedule((64, 192), SEQ)
+        noises, off = [], 0
+        for bs in blocks:
+            noises.append(noise[:, off:off + bs])
+            off += bs
+
+        def run(p):
+            chunks, lat = [], None
+            for prefix, chunk, _s, _b in stream_blocks_fused(
+                    p, cfg, sc, ae_params, ae_cfg, pca, spk, smask, ids,
+                    tmask, blocks, noises, jnp.bfloat16):
+                chunks.append(np.asarray(chunk, np.float32))
+                lat = prefix
+            return np.asarray(lat), np.concatenate(chunks, axis=-1)
+    else:
+        def run(p):
+            lat = sample_euler_cfg_independent_guidances(
+                p, cfg, sc, spk, smask, ids, tmask, noise,
+                model_dtype=jnp.bfloat16)
+            z_q = pca_mod.deproject(pca, lat)
+            audio = decode_zq(ae_params, ae_cfg, z_q.astype(jnp.bfloat16))
+            return np.asarray(lat), np.asarray(audio, dtype=np.float32)
 
     t0 = time.time()
     lat_ref, audio_ref = run(params)
@@ -79,7 +106,9 @@ def main():
     audio_rel = rel(audio_q, audio_ref)
     print(json.dumps({
         "metric": ("int8 W8A8 trunk" + ("+encoders" if encoders else "")
-                   + " vs bf16, exact 40-step sampler, same noise"),
+                   + " vs bf16, "
+                   + ("blockwise 64+192x3 streaming" if blockwise
+                      else "exact 40-step sampler") + ", same noise"),
         "latent_rel_l2": round(lat_rel, 4),
         "latent_snr_db": round(snr_db, 1),
         "waveform_rel_l2": round(audio_rel, 4),

@@ -557,3 +557,33 @@ def test_engine_stream_micro_batching_incompatible_split(tiny_tts):  # noqa: F81
         assert eng.health()["requests"] == 3
     finally:
         eng.close()
+
+
+def test_engine_close_releases_queued_stream(tiny_tts):  # noqa: F811
+    """close() while a queued stream sits undispatched must push an error +
+    END to its queue rather than hanging the consumer."""
+    import dataclasses
+    import threading
+
+    _, _, tts = tiny_tts
+    eng = Engine(dataclasses.replace(tts), max_batch=2, batch_wait_ms=5000.0)
+    # occupy the dispatcher with a long linger by enqueueing one stream and
+    # closing before its wait window elapses
+    result = {}
+
+    def consume():
+        try:
+            list(eng.generate_stream("Close test.", None, seed=1, sc=SC,
+                                     block_size=8))
+            result["outcome"] = "completed"
+        except RuntimeError as e:
+            result["outcome"] = f"error: {e}"
+
+    t = threading.Thread(target=consume, daemon=True)
+    t.start()
+    import time as _t
+
+    _t.sleep(0.3)  # let it enqueue
+    eng.close()
+    t.join(timeout=120)
+    assert "outcome" in result, "stream consumer hung after close()"
