@@ -595,7 +595,9 @@ class Engine:
                 self.stats["total_audio_s"] += n_samples / self.tts.ae_cfg.sample_rate
 
     def warmup(self, sc: Optional[SamplerConfig] = None,
-               include_speaker_buckets: bool = True) -> float:
+               include_speaker_buckets: bool = True,
+               include_streaming: bool = False,
+               stream_block_size=(64, 192)) -> float:
         """Pre-compile the serving executables for every shape bucket so no
         user request pays a cold compile (the reference compiles lazily on
         the first generation per bucket: gradio_app.py:263-274,315-345).
@@ -605,7 +607,13 @@ class Engine:
         speaker prompt sized to land in each speaker bucket (this also warms
         the chunked AE-encode executable). Uses the given SamplerConfig —
         executables are specialized on it, so warm up with the preset you
-        will serve. Returns total warmup seconds."""
+        will serve. Returns total warmup seconds.
+
+        include_streaming additionally warms the streaming executables
+        (fused prologue + per-block-size steps for `stream_block_size`) on
+        the no-speaker shape — without it, the FIRST /tts_stream request
+        pays the multi-minute cold compile and the 333 ms TTFA claim only
+        holds from the second stream on."""
         sc = sc or SamplerConfig()
         pc = self.tts.pipe_cfg
         sr = self.tts.ae_cfg.sample_rate
@@ -622,6 +630,16 @@ class Engine:
                 sample_pipeline(self.tts, "Warmup.", audio, 0, sc=sc,
                                 normalize_text=True)
         n_combos = len(prompts)
+        if include_streaming and self.tts.dit_cfg.has_latent_modules:
+            from echo_tts_tpu.pipeline.pipeline import sample_pipeline_stream
+
+            with self._lock:
+                for _ in sample_pipeline_stream(
+                        self.tts, "Warmup.", None, 0, sc=sc,
+                        block_size=stream_block_size, normalize_text=True,
+                        stop_at_flattening=False):
+                    pass
+            n_combos += 1
         if self.max_batch > 1:
             # micro-batching compiles one executable per power-of-2 batch
             # size (_run_batch rounds up); warm them on the no-speaker shape

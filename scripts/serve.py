@@ -115,7 +115,10 @@ def main():
         from echo_tts_tpu.core.config import SamplerConfig as _SC
 
         print("warming up shape buckets (compiles every serving executable)...")
-        wall = engine.warmup(_SC())
+        # streaming executables too (fused prologue + block steps), so the
+        # FIRST /tts_stream request meets the TTFA numbers
+        wall = engine.warmup(
+            _SC(), include_streaming=tts.dit_cfg.has_latent_modules)
         print(f"warmup done in {wall:.1f}s")
     presets = load_sampler_presets(args.presets) if os.path.exists(
         args.presets) or not args.random_tiny else None

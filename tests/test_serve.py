@@ -587,3 +587,21 @@ def test_engine_close_releases_queued_stream(tiny_tts):  # noqa: F811
     eng.close()
     t.join(timeout=120)
     assert "outcome" in result, "stream consumer hung after close()"
+
+
+def test_engine_warmup_streaming(tiny_tts):  # noqa: F811
+    """warmup(include_streaming=True) pre-runs the streaming executables
+    (fused prologue + block steps) so the first client stream hits warm
+    code; a follow-up stream still works and stats stay warmup-free."""
+    import dataclasses
+
+    _, _, tts = tiny_tts
+    eng = Engine(dataclasses.replace(tts))
+    before = eng.health()["requests"]
+    wall = eng.warmup(SC, include_speaker_buckets=False,
+                      include_streaming=True, stream_block_size=8)
+    assert wall > 0
+    assert eng.health()["requests"] == before  # warmup bypasses stats
+    chunks = list(eng.generate_stream("Post stream warmup.", None, seed=2,
+                                      sc=SC, block_size=8))
+    assert sum(c.shape[-1] for c in chunks) > 0
