@@ -27,36 +27,66 @@ def main() -> int:
     assert jax.process_count() == nproc, jax.process_count()
     assert jax.process_index() == pid
 
+    import jax.numpy as jnp
     from jax.experimental import multihost_utils
     from jax.sharding import Mesh
 
+    from echo_tts_tpu.core.config import DiTConfig, SamplerConfig
+    from echo_tts_tpu.models.dit import init_dit_params
     from echo_tts_tpu.parallel.multihost import barrier, feed_process_local_batch
+    from echo_tts_tpu.sampling.euler_cfg import (
+        draw_noise,
+        sample_euler_cfg_independent_guidances,
+    )
 
     devs = np.array(jax.devices()[:nproc]).reshape(nproc, 1)
     mesh = Mesh(devs, ("dp", "tp"))
 
-    # per-host local rows -> global dp-sharded arrays
-    local = {"x": np.full((1, 4), float(pid), np.float32),
-             "mask": np.ones((1, 4), bool)}
-    g = feed_process_local_batch(mesh, local)
-    assert g["x"].shape == (nproc, 4), g["x"].shape
-    assert not g["x"].is_fully_addressable  # really distributed
+    # REAL dp=2 sampling identity (SURVEY §4 item 4 / VERDICT r2 item 3):
+    # both processes build identical tiny params by seed; each host feeds
+    # ITS OWN utterance row; the globally-sharded sample must equal the
+    # single-host batched reference each process computes locally.
+    cfg = DiTConfig().tiny()
+    params = init_dit_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    sc = SamplerConfig(num_steps=2, sequence_length=8, truncation_factor=0.8)
+    B, T, SPK = nproc, 12, 8
 
-    # dp identity: row p of the global computation == the host-local math
-    y = jax.jit(lambda t: t["x"] * 2.0 + jnp_where_mask(t))(g)
-    gathered = multihost_utils.process_allgather(y, tiled=True)
-    expect = np.stack([np.full((4,), 2.0 * p + 1.0) for p in range(nproc)])
-    np.testing.assert_allclose(np.asarray(gathered), expect)
+    def row(i, arr):
+        return np.asarray(arr[i : i + 1])
+
+    key = jax.random.PRNGKey(42)
+    ks = jax.random.split(key, 3)
+    ids_all = np.asarray(jax.random.randint(ks[0], (B, T), 0, 256))
+    tmask_all = np.ones((B, T), bool)
+    spk_all = np.asarray(jax.random.normal(ks[1], (B, SPK, cfg.latent_size)),
+                         np.float32)
+    smask_all = np.ones((B, SPK), bool)
+    noise_all = np.asarray(draw_noise(7, (B, sc.sequence_length,
+                                          cfg.latent_size)))
+
+    local = {"ids": row(pid, ids_all), "tmask": row(pid, tmask_all),
+             "spk": row(pid, spk_all), "smask": row(pid, smask_all),
+             "noise": row(pid, noise_all)}
+    g = feed_process_local_batch(mesh, local)
+    assert g["ids"].shape == (B, T), g["ids"].shape
+    assert not g["ids"].is_fully_addressable  # really distributed
+
+    with mesh:
+        out = sample_euler_cfg_independent_guidances(
+            params, cfg, sc, g["spk"], g["smask"], g["ids"], g["tmask"],
+            g["noise"], model_dtype=jnp.float32)
+    gathered = np.asarray(multihost_utils.process_allgather(out, tiled=True))
+
+    # single-host reference computed INDEPENDENTLY by each process
+    ref = np.asarray(sample_euler_cfg_independent_guidances(
+        params, cfg, sc, jnp.asarray(spk_all), jnp.asarray(smask_all),
+        jnp.asarray(ids_all), jnp.asarray(tmask_all), jnp.asarray(noise_all),
+        model_dtype=jnp.float32))
+    np.testing.assert_allclose(gathered, ref, atol=2e-5, rtol=1e-4)
 
     barrier("test-end")  # exercises sync_global_devices
     print(f"MULTIHOST_OK {pid}", flush=True)
     return 0
-
-
-def jnp_where_mask(t):
-    import jax.numpy as jnp
-
-    return jnp.where(t["mask"], 1.0, 0.0)
 
 
 if __name__ == "__main__":
