@@ -384,8 +384,6 @@ def stream_blocks_fused(dit_params, dit_cfg, sc, ae_params, ae_cfg, pca,
     (prefix, audio (B, 1, bs*frame_length) fp32 device array, start, bs).
     A continuation prefix first advances the decoder state through the seed
     region (audio discarded — only new blocks are yielded)."""
-    from echo_tts_tpu.models.dit import get_kv_cache_speaker, get_kv_cache_text
-
     ids = jnp.asarray(ids)
     text_mask = jnp.asarray(text_mask)
     speaker_latent = jnp.asarray(speaker_latent)
@@ -454,6 +452,64 @@ def stream_blocks_fused(dit_params, dit_cfg, sc, ae_params, ae_cfg, pca,
         start += int(bs)
 
 
+class _StreamEmitter:
+    """Per-utterance emission state shared by the solo and batched streaming
+    pipelines (their audio must stay interchangeable — the engine picks one
+    or the other by group size): detector-window holdback, flattening-point
+    early stop, per-block chunk slicing.
+
+    Emission is held back by one detector window so a flattening point near
+    a block boundary crops audio BEFORE it is sent; detection counts only
+    windows fully inside the observed data (the detector zero-pads past its
+    input, which would fake "flat" windows at every boundary)."""
+
+    WINDOW = 20  # detector window (reference: inference.py:315)
+
+    def __init__(self, total: int, spl: int, cont_len: int = 0,
+                 stop_at_flattening: bool = True):
+        self.total = total
+        self.spl = spl
+        self.cont_len = cont_len
+        self.stop_at_flattening = stop_at_flattening
+        self.emitted_to = cont_len
+        self.held = np.zeros((1, 1, 0), np.float32)
+        self.stopped = False
+
+    def on_block(self, lat_row: np.ndarray, audio_row: np.ndarray,
+                 start: int, bs: int):
+        """lat_row: (>= start+bs, latent) fp32 latents; audio_row:
+        (1, 1, bs*spl) this block's decoded audio. Returns (chunk — possibly
+        empty, stopped). After `stopped`, the row emits nothing further."""
+        from echo_tts_tpu.pipeline import flattening
+
+        end = start + bs
+        is_final = end == self.total
+        # held covers [emitted_to, start); this block decoded [start, end)
+        audio = np.concatenate([self.held, audio_row], axis=-1)
+        self.held = np.zeros((1, 1, 0), np.float32)
+
+        fp = None
+        if self.stop_at_flattening:
+            # detect on the GENERATED region only (continuation audio may
+            # contain legitimate silence)
+            cand = self.cont_len + int(flattening.find_flattening_point(
+                lat_row[self.cont_len:end]))
+            if cand <= end - self.WINDOW or (is_final and cand < end):
+                fp = cand
+        if fp is not None and fp < end:
+            keep = max(0, fp - self.emitted_to)
+            self.stopped = True
+            return audio[:, :, : keep * self.spl], True
+        if is_final:
+            self.stopped = True
+            return audio, True
+        hold_from = max(self.emitted_to, end - self.WINDOW)
+        out = audio[:, :, : (hold_from - self.emitted_to) * self.spl]
+        self.held = audio[:, :, (hold_from - self.emitted_to) * self.spl:]
+        self.emitted_to = hold_from
+        return out, False
+
+
 def sample_pipeline_stream(
     tts: EchoTTS,
     text_prompt: str,
@@ -501,8 +557,6 @@ def sample_pipeline_stream(
     inference_blockwise.py:189-190). Only NEW audio is emitted; the
     flattening detector runs on the generated region only.
     """
-    from echo_tts_tpu.pipeline import flattening
-
     if not tts.dit_cfg.has_latent_modules:
         raise ValueError(
             "streaming generation needs the blockwise (latent-prefix) modules;"
@@ -514,7 +568,6 @@ def sample_pipeline_stream(
 
     block_sizes = _block_schedule(block_size, sc.sequence_length)
     spl = tts.ae_cfg.frame_length
-    window = 20  # detector window (reference: inference.py:315)
 
     cont_latent, cont_len = None, 0
     if continuation_audio is not None:
@@ -552,49 +605,20 @@ def sample_pipeline_stream(
         noises.append(full_noise[:, off:off + bs])
         off += bs
 
-    # emitted_to: frames whose audio has been yielded. `held` buffers decoded
-    # audio for frames [emitted_to, current block start) — the <= window
-    # holdback that lets a flattening point near a block boundary crop audio
-    # BEFORE it is sent. Continuation frames are context only — never
-    # re-emitted.
-    emitted_to = cont_len
-    held = np.zeros((1, 1, 0), np.float32)
-
+    # continuation frames are context only — never re-emitted
     total = cont_len + sum(block_sizes)
+    em = _StreamEmitter(total, spl, cont_len, stop_at_flattening)
     for prefix, audio_dev, start, bs in stream_blocks_fused(
             tts.dit_params, tts.dit_cfg, sc, tts.ae_params, tts.ae_cfg,
             tts.pca, speaker_latent, speaker_mask, ids, text_mask,
             block_sizes, noises, tts.model_dtype,
             continuation_latent=cont_latent):
-        end = start + bs
-        is_final = end == total
-        # held covers [emitted_to, start); the fused step decoded [start, end)
-        audio = np.concatenate([held, np.asarray(audio_dev, np.float32)],
-                               axis=-1)
-        held = np.zeros((1, 1, 0), np.float32)
-
-        fp = None
-        if stop_at_flattening:
-            # detect on the GENERATED region only (continuation audio may
-            # contain legitimate silence)
-            cand = cont_len + int(flattening.find_flattening_point(
-                np.asarray(prefix[0, cont_len:end], np.float32)))
-            # non-final blocks: only windows fully inside the data are real —
-            # the detector's zero-pad fakes flatness at the boundary
-            if cand <= end - window or (is_final and cand < end):
-                fp = cand
-        if fp is not None and fp < end:
-            keep = max(0, fp - emitted_to)
-            yield audio[:, :, : keep * spl]
+        chunk, stopped = em.on_block(
+            np.asarray(prefix[0, : start + bs], np.float32),
+            np.asarray(audio_dev, np.float32), start, bs)
+        yield chunk
+        if stopped:
             return
-        if is_final:
-            yield audio
-            return
-        # hold back the last `window` frames of decoded audio
-        hold_from = max(emitted_to, end - window)
-        yield audio[:, :, : (hold_from - emitted_to) * spl]
-        held = audio[:, :, (hold_from - emitted_to) * spl:]
-        emitted_to = hold_from
 
 
 def sample_pipeline_stream_batch(
@@ -608,14 +632,15 @@ def sample_pipeline_stream_batch(
 ):
     """Batched streaming: N utterances stream through ONE fused device call
     per block (the streaming analogue of sample_pipeline_batch; the
-    reference has neither). Yields {request_index: chunk (1, 1, n)} dicts as
-    blocks complete — only rows that still have audio to emit appear; a row
-    disappears after its flattening point. Per-row audio is identical to the
-    B=1 stream with the same seed (per-seed noise rows match, masks make
-    bucket padding inert; the batch stops early only when EVERY row has
-    stopped). Continuation is not batched — use sample_pipeline_stream."""
-    from echo_tts_tpu.pipeline import flattening
-
+    reference has neither). Yields {request_index: chunk (1, 1, n>0)} dicts
+    as blocks complete — a row appears ONLY with non-empty audio (holdback
+    can make a row's share of an early block empty) and stops appearing
+    after its flattening point; concatenating a row's chunks equals the B=1
+    stream with the same seed (per-seed noise rows match, masks make bucket
+    padding inert; emission logic is the shared _StreamEmitter, so solo and
+    batched audio cannot diverge). The batch stops sampling early only when
+    EVERY row has stopped. Continuation is not batched — use
+    sample_pipeline_stream."""
     if not tts.dit_cfg.has_latent_modules:
         raise ValueError(
             "streaming generation needs the blockwise (latent-prefix) modules;"
@@ -639,7 +664,6 @@ def sample_pipeline_stream_batch(
 
     block_sizes = _block_schedule(block_size, sc.sequence_length)
     spl = tts.ae_cfg.frame_length
-    window = 20  # detector window (reference: inference.py:315)
     noises = []
     full = jnp.concatenate([
         draw_noise(seed, (1, sc.sequence_length, tts.dit_cfg.latent_size))
@@ -649,42 +673,23 @@ def sample_pipeline_stream_batch(
         noises.append(full[:, off:off + bs])
         off += bs
 
-    emitted_to = [0] * n
-    stopped = [False] * n
-    held = [np.zeros((1, 1, 0), np.float32)] * n
     total = sum(block_sizes)
+    ems = [_StreamEmitter(total, spl, 0, stop_at_flattening)
+           for _ in range(n)]
 
     for prefix, audio_dev, start, bs in stream_blocks_fused(
             tts.dit_params, tts.dit_cfg, sc, tts.ae_params, tts.ae_cfg,
             tts.pca, speaker_latent, speaker_mask, ids, text_mask,
             block_sizes, noises, tts.model_dtype):
-        end = start + bs
-        is_final = end == total
         audio_np = np.asarray(audio_dev, np.float32)
-        lat_np = np.asarray(prefix[:, :end], np.float32)
+        lat_np = np.asarray(prefix[:, : start + bs], np.float32)
         out = {}
         for i in range(n):
-            if stopped[i]:
+            if ems[i].stopped:
                 continue
-            audio = np.concatenate([held[i], audio_np[i:i + 1]], axis=-1)
-            held[i] = np.zeros((1, 1, 0), np.float32)
-            fp = None
-            if stop_at_flattening:
-                cand = int(flattening.find_flattening_point(lat_np[i]))
-                if cand <= end - window or (is_final and cand < end):
-                    fp = cand
-            if fp is not None and fp < end:
-                keep = max(0, fp - emitted_to[i])
-                out[i] = audio[:, :, : keep * spl]
-                stopped[i] = True
-            elif is_final:
-                out[i] = audio
-                stopped[i] = True
-            else:
-                hold_from = max(emitted_to[i], end - window)
-                out[i] = audio[:, :, : (hold_from - emitted_to[i]) * spl]
-                held[i] = audio[:, :, (hold_from - emitted_to[i]) * spl:]
-                emitted_to[i] = hold_from
+            chunk, _ = ems[i].on_block(lat_np[i], audio_np[i:i + 1], start, bs)
+            if chunk.shape[-1]:
+                out[i] = chunk
         yield out
-        if all(stopped):
+        if all(e.stopped for e in ems):
             return

@@ -399,7 +399,9 @@ class Engine:
         pipeline). Chunks flow into each request's bounded queue — the
         device lock is held only while sampling, never while a client
         drains. Per-stream audio matches the solo stream with the same seed
-        (per-seed noise rows)."""
+        (per-seed noise rows). Like _run_batch, the device batch rounds up
+        to a power of two by repeating row 0 (pad-row chunks discarded), so
+        compiles are capped at log2(max_batch)+1 per signature."""
         from echo_tts_tpu.pipeline.pipeline import (
             sample_pipeline_stream,
             sample_pipeline_stream_batch,
@@ -424,12 +426,16 @@ class Engine:
                         if r.gone.is_set():
                             break  # abandoned: stop paying for sampling
                 else:
+                    target = 1 << (n - 1).bit_length()
                     reqs = [(r.text, r.speaker, r.seed) for r in batch]
+                    reqs += [reqs[0]] * (target - n)
                     for out in sample_pipeline_stream_batch(
                             self.tts, reqs, sc=sc, block_size=block_size,
                             normalize_text=normalize,
                             speaker_cache=self._speaker_cache):
                         for i, chunk in out.items():
+                            if i >= n:
+                                continue  # pad row
                             n_samples[i] += chunk.shape[-1]
                             batch[i].push(chunk)
                         if all(r.gone.is_set() for r in batch):
@@ -440,14 +446,18 @@ class Engine:
             for r in batch:
                 r.push(e)
         finally:
-            for r in batch:
-                r.push(_PendingStream.END)
+            # a False END push means the client was gone before completion —
+            # count it as a failure, matching _stream_device_locked's
+            # accounting for a mid-stream disconnect on the unbatched path
+            aborted = sum(1 for r in batch if not r.push(_PendingStream.END))
             with self._lock:
                 self.stats["requests"] += n
                 if n > 1:
                     self.stats["batches"] += 1
                 if not ok:
                     self.stats["failures"] += n
+                else:
+                    self.stats["failures"] += aborted
                 self.stats["total_sample_s"] += time.perf_counter() - t0
                 self.stats["total_audio_s"] += (
                     sum(n_samples) / self.tts.ae_cfg.sample_rate)
@@ -631,7 +641,10 @@ class Engine:
                                 normalize_text=True)
         n_combos = len(prompts)
         if include_streaming and self.tts.dit_cfg.has_latent_modules:
-            from echo_tts_tpu.pipeline.pipeline import sample_pipeline_stream
+            from echo_tts_tpu.pipeline.pipeline import (
+                sample_pipeline_stream,
+                sample_pipeline_stream_batch,
+            )
 
             with self._lock:
                 for _ in sample_pipeline_stream(
@@ -640,6 +653,21 @@ class Engine:
                         stop_at_flattening=False):
                     pass
             n_combos += 1
+            # batched streaming compiles one executable set per power-of-2
+            # batch size (_run_stream_batch rounds up) — warm them so the
+            # first concurrent stream group doesn't cold-compile while
+            # HOLDING the device lock
+            b = 2
+            while b <= self.max_batch:
+                reqs = [("Warmup.", None, i) for i in range(b)]
+                with self._lock:
+                    for _ in sample_pipeline_stream_batch(
+                            self.tts, reqs, sc=sc,
+                            block_size=stream_block_size,
+                            normalize_text=True, stop_at_flattening=False):
+                        pass
+                n_combos += 1
+                b *= 2
         if self.max_batch > 1:
             # micro-batching compiles one executable per power-of-2 batch
             # size (_run_batch rounds up); warm them on the no-speaker shape
