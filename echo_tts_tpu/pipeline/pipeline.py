@@ -475,9 +475,11 @@ class _StreamEmitter:
         self.held = np.zeros((1, 1, 0), np.float32)
         self.stopped = False
 
-    def on_block(self, lat_row: np.ndarray, audio_row: np.ndarray,
+    def on_block(self, lat_row, audio_row: np.ndarray,
                  start: int, bs: int):
-        """lat_row: (>= start+bs, latent) fp32 latents; audio_row:
+        """lat_row: (>= start+bs, latent) fp32 latents, or None when
+        stop_at_flattening is off (callers then skip the device->host latent
+        fetch entirely — it costs a relay round-trip per block); audio_row:
         (1, 1, bs*spl) this block's decoded audio. Returns (chunk — possibly
         empty, stopped). After `stopped`, the row emits nothing further."""
         from echo_tts_tpu.pipeline import flattening
@@ -613,9 +615,10 @@ def sample_pipeline_stream(
             tts.pca, speaker_latent, speaker_mask, ids, text_mask,
             block_sizes, noises, tts.model_dtype,
             continuation_latent=cont_latent):
+        lat_row = (np.asarray(prefix[0, : start + bs], np.float32)
+                   if stop_at_flattening else None)
         chunk, stopped = em.on_block(
-            np.asarray(prefix[0, : start + bs], np.float32),
-            np.asarray(audio_dev, np.float32), start, bs)
+            lat_row, np.asarray(audio_dev, np.float32), start, bs)
         yield chunk
         if stopped:
             return
@@ -636,11 +639,13 @@ def sample_pipeline_stream_batch(
     as blocks complete — a row appears ONLY with non-empty audio (holdback
     can make a row's share of an early block empty) and stops appearing
     after its flattening point; concatenating a row's chunks equals the B=1
-    stream with the same seed (per-seed noise rows match, masks make bucket
-    padding inert; emission logic is the shared _StreamEmitter, so solo and
-    batched audio cannot diverge). The batch stops sampling early only when
-    EVERY row has stopped. Continuation is not batched — use
-    sample_pipeline_stream."""
+    stream with the same seed to fp tolerance (per-seed noise rows match,
+    masks make bucket padding inert; B=N vs B=1 executables may tile
+    differently, so bit-exactness is not guaranteed — the parity test uses
+    2e-5). The host-side emission/cropping logic is the shared
+    _StreamEmitter, so solo and batched CROPPING cannot diverge. The batch
+    stops sampling early only when EVERY row has stopped. Continuation is
+    not batched — use sample_pipeline_stream."""
     if not tts.dit_cfg.has_latent_modules:
         raise ValueError(
             "streaming generation needs the blockwise (latent-prefix) modules;"
@@ -682,12 +687,15 @@ def sample_pipeline_stream_batch(
             tts.pca, speaker_latent, speaker_mask, ids, text_mask,
             block_sizes, noises, tts.model_dtype):
         audio_np = np.asarray(audio_dev, np.float32)
-        lat_np = np.asarray(prefix[:, : start + bs], np.float32)
+        lat_np = (np.asarray(prefix[:, : start + bs], np.float32)
+                  if stop_at_flattening else None)
         out = {}
         for i in range(n):
             if ems[i].stopped:
                 continue
-            chunk, _ = ems[i].on_block(lat_np[i], audio_np[i:i + 1], start, bs)
+            chunk, _ = ems[i].on_block(
+                lat_np[i] if lat_np is not None else None,
+                audio_np[i:i + 1], start, bs)
             if chunk.shape[-1]:
                 out[i] = chunk
         yield out

@@ -31,6 +31,13 @@ from echo_tts_tpu.train.lora import load_lora_checkpoint, merge_lora
 log = logging.getLogger("echo_tts_tpu.serve")
 
 
+def _pow2_ceil(n: int) -> int:
+    """Smallest power of two >= n (the device-batch sizes the batchers
+    actually compile: groups round UP, so max_batch=3 can run a B=4
+    executable)."""
+    return 1 << max(0, n - 1).bit_length()
+
+
 class _LRUCache:
     """Tiny LRU mapping for speaker-conditioning reuse (get/__setitem__ are
     the only operations the pipeline uses). Not thread-safe on its own —
@@ -357,7 +364,7 @@ class Engine:
         # relay), so B in {1, 2, 4, ...} caps compiles at log2(max_batch)+1
         # per bucket combo; pad-row outputs are discarded
         n = len(batch)
-        target = 1 << (n - 1).bit_length()
+        target = _pow2_ceil(n)
         requests = [(r.text, r.speaker, r.seed) for r in batch]
         requests += [requests[0]] * (target - n)
         last_err = None
@@ -426,7 +433,7 @@ class Engine:
                         if r.gone.is_set():
                             break  # abandoned: stop paying for sampling
                 else:
-                    target = 1 << (n - 1).bit_length()
+                    target = _pow2_ceil(n)
                     reqs = [(r.text, r.speaker, r.seed) for r in batch]
                     reqs += [reqs[0]] * (target - n)
                     for out in sample_pipeline_stream_batch(
@@ -641,7 +648,9 @@ class Engine:
                                 normalize_text=True)
         n_combos = len(prompts)
         if include_streaming and self.tts.dit_cfg.has_latent_modules:
+            from echo_tts_tpu.pipeline import flattening
             from echo_tts_tpu.pipeline.pipeline import (
+                _block_schedule,
                 sample_pipeline_stream,
                 sample_pipeline_stream_batch,
             )
@@ -652,13 +661,26 @@ class Engine:
                         block_size=stream_block_size, normalize_text=True,
                         stop_at_flattening=False):
                     pass
+                # the flattening detector jit compiles per cumulative-prefix
+                # shape; real streams run with stop_at_flattening=True (the
+                # warmup stream cannot, or it would stop at block 1), so
+                # warm those shapes explicitly or the FIRST stream's first
+                # chunk waits on a cold detector compile
+                end = 0
+                for bs_ in _block_schedule(stream_block_size,
+                                           sc.sequence_length):
+                    end += bs_
+                    flattening.find_flattening_point(
+                        np.zeros((end, self.tts.dit_cfg.latent_size),
+                                 np.float32))
             n_combos += 1
             # batched streaming compiles one executable set per power-of-2
-            # batch size (_run_stream_batch rounds up) — warm them so the
-            # first concurrent stream group doesn't cold-compile while
-            # HOLDING the device lock
+            # batch size (_run_stream_batch rounds the group up, so a
+            # non-power-of-2 max_batch still lands on the NEXT power of
+            # two) — warm them so the first concurrent stream group doesn't
+            # cold-compile while HOLDING the device lock
             b = 2
-            while b <= self.max_batch:
+            while b <= _pow2_ceil(self.max_batch):
                 reqs = [("Warmup.", None, i) for i in range(b)]
                 with self._lock:
                     for _ in sample_pipeline_stream_batch(
@@ -670,10 +692,12 @@ class Engine:
                 b *= 2
         if self.max_batch > 1:
             # micro-batching compiles one executable per power-of-2 batch
-            # size (_run_batch rounds up); warm them on the no-speaker shape
-            # so the first concurrent burst doesn't pay a cold compile
+            # size (_run_batch rounds up — so a non-power-of-2 max_batch
+            # still reaches the NEXT power of two); warm them on the
+            # no-speaker shape so the first concurrent burst doesn't pay a
+            # cold compile
             b = 2
-            while b <= self.max_batch:
+            while b <= _pow2_ceil(self.max_batch):
                 reqs = [("Warmup.", None, i) for i in range(b)]
                 with self._lock:
                     sample_pipeline_batch(self.tts, reqs, sc=sc,

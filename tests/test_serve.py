@@ -605,3 +605,61 @@ def test_engine_warmup_streaming(tiny_tts):  # noqa: F811
     chunks = list(eng.generate_stream("Post stream warmup.", None, seed=2,
                                       sc=SC, block_size=8))
     assert sum(c.shape[-1] for c in chunks) > 0
+
+
+def test_engine_stream_batch_pad_rows(tiny_tts):  # noqa: F811
+    """Three concurrent streams with max_batch=4 round the device batch up to
+    4 with a pad row; pad-row chunks never leak into any client's audio
+    (each stream equals its solo run) and exactly 3 requests are counted."""
+    import dataclasses
+    import threading
+
+    _, _, tts = tiny_tts
+    solo = Engine(dataclasses.replace(tts))
+    texts = [(31, "Pad row A."), (32, "Pad row B."), (33, "Pad row C.")]
+    ref = {}
+    for seed, text in texts:
+        ref[seed] = np.concatenate(
+            list(solo.generate_stream(text, None, seed=seed, sc=SC,
+                                      block_size=8)), axis=-1)
+
+    eng = Engine(dataclasses.replace(tts), max_batch=4, batch_wait_ms=500.0)
+    try:
+        got = {}
+
+        def run(seed, text):
+            got[seed] = np.concatenate(
+                list(eng.generate_stream(text, None, seed=seed, sc=SC,
+                                         block_size=8)), axis=-1)
+
+        ts = [threading.Thread(target=run, args=a) for a in texts]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=300)
+        assert set(got) == {31, 32, 33}
+        for seed, _text in texts:
+            assert got[seed].shape == ref[seed].shape
+            np.testing.assert_allclose(got[seed], ref[seed], atol=2e-5, rtol=0)
+        assert eng.health()["requests"] == 3  # pad row not counted
+    finally:
+        eng.close()
+
+
+def test_engine_warmup_batched_streaming(tiny_tts):  # noqa: F811
+    """warmup(include_streaming=True) with max_batch>1 also pre-runs the
+    batched stream executables and the per-shape flattening detector."""
+    import dataclasses
+
+    _, _, tts = tiny_tts
+    eng = Engine(dataclasses.replace(tts), max_batch=2, batch_wait_ms=20.0)
+    try:
+        wall = eng.warmup(SC, include_speaker_buckets=False,
+                          include_streaming=True, stream_block_size=8)
+        assert wall > 0
+        assert eng.health()["requests"] == 0  # warmup bypasses stats
+        chunks = list(eng.generate_stream("Post batched warmup.", None,
+                                          seed=4, sc=SC, block_size=8))
+        assert sum(c.shape[-1] for c in chunks) > 0
+    finally:
+        eng.close()
