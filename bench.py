@@ -218,7 +218,8 @@ def main():
         if "--blocks" in sys.argv:
             spec = [int(x) for x in
                     sys.argv[sys.argv.index("--blocks") + 1].split(",")]
-            blocks = tuple(_block_schedule(spec, SEQ))
+            blocks = tuple(_block_schedule(spec, SEQ,
+                                           dit_cfg.speaker_patch_size))
         ttfa = []
         last_audio = {}
 

@@ -350,20 +350,34 @@ def _prepare_inputs(tts: EchoTTS, text_prompt: str,
     return ids, text_mask, normalized, speaker_latent, speaker_mask, timings
 
 
-def _block_schedule(block_size, budget: int) -> list:
+def _block_schedule(block_size, budget: int, patch: int = 1) -> list:
     """Expand a block spec into concrete sizes summing to `budget`.
 
     An int is a uniform size; a sequence is used in order, repeating its LAST
     entry until the budget fills (the final block truncates). A small first
     block cuts time-to-first-audio roughly proportionally — the first block's
     40-step Euler dominates TTFA — while later blocks stay large for
-    throughput (e.g. (64, 192) -> [64, 192, 192, 192] at budget 640)."""
+    throughput (e.g. (64, 192) -> [64, 192, 192, 192] at budget 640).
+
+    `patch` (the DiT's speaker_patch_size) rounds every requested size UP to
+    a patch multiple: the incremental latent-prefix KV patchifies each block
+    by `patch` (dit.extend_latent_kv), so block sizes and start positions
+    must be patch-aligned — an unaligned size would die with an opaque
+    reshape error deep inside the fused streaming executable. Rounding (vs
+    rejecting) keeps arbitrary client block_size values working (the HTTP
+    API accepts any int, server.py)."""
     if isinstance(block_size, (int, np.integer)):
         sizes = [int(block_size)]
     else:
         sizes = [int(s) for s in block_size]
     if not sizes or any(s < 1 for s in sizes):
         raise ValueError(f"block sizes must be >= 1, got {block_size}")
+    if patch > 1:
+        if budget % patch:
+            raise ValueError(
+                f"block budget {budget} is not a multiple of the latent "
+                f"patch size {patch} (the latent-prefix KV is patchified)")
+        sizes = [-(-s // patch) * patch for s in sizes]
     out, i = [], 0
     while budget > 0:
         s = sizes[min(i, len(sizes) - 1)]
@@ -371,6 +385,21 @@ def _block_schedule(block_size, budget: int) -> list:
         budget -= out[-1]
         i += 1
     return out
+
+
+def _check_patch_aligned(block_sizes, cont_len: int, patch: int) -> None:
+    """Clear error for patch-misaligned streaming inputs (see
+    _block_schedule): dit.extend_latent_kv reshapes each appended block by
+    the latent patch size, so every block size and the continuation length
+    must be multiples of `patch`."""
+    bad = [int(s) for s in block_sizes if int(s) % patch]
+    if bad or cont_len % patch:
+        raise ValueError(
+            f"streaming block sizes {list(map(int, block_sizes))} and "
+            f"continuation length {cont_len} must be multiples of the latent "
+            f"patch size {patch} (blocks are appended to the latent-prefix "
+            f"KV in patches; use pipeline._block_schedule(..., patch=...) "
+            f"to round a schedule)")
 
 
 def stream_blocks_fused(dit_params, dit_cfg, sc, ae_params, ae_cfg, pca,
@@ -390,6 +419,7 @@ def stream_blocks_fused(dit_params, dit_cfg, sc, ae_params, ae_cfg, pca,
     speaker_mask = jnp.asarray(speaker_mask)
     b = ids.shape[0]
     cont_len = 0 if continuation_latent is None else continuation_latent.shape[1]
+    _check_patch_aligned(block_sizes, cont_len, dit_cfg.speaker_patch_size)
     total = cont_len + sum(int(s) for s in block_sizes)
     if max_positions is None:
         max_positions = max(1024, total)
@@ -568,7 +598,8 @@ def sample_pipeline_stream(
         tts, text_prompt, speaker_audio, normalize_text, None, None, True,
         speaker_cache=speaker_cache)
 
-    block_sizes = _block_schedule(block_size, sc.sequence_length)
+    block_sizes = _block_schedule(block_size, sc.sequence_length,
+                                  tts.dit_cfg.speaker_patch_size)
     spl = tts.ae_cfg.frame_length
 
     cont_latent, cont_len = None, 0
@@ -597,7 +628,8 @@ def sample_pipeline_stream(
             raise ValueError(
                 f"continuation occupies {cont_len} of the {sc.sequence_length}"
                 "-latent budget; nothing left to generate")
-        block_sizes = _block_schedule(block_size, budget)  # noise slices follow
+        block_sizes = _block_schedule(  # noise slices follow
+            block_size, budget, tts.dit_cfg.speaker_patch_size)
 
     # same RNG contract as one-shot: noise for block i is the one-shot noise
     # tensor's rows [start_i, end_i) (blockwise-vs-oneshot consistency tests)
@@ -667,7 +699,8 @@ def sample_pipeline_stream_batch(
     speaker_mask = np.concatenate(
         [_pad_to(np.asarray(p[4]), spk_len) for p in preps])
 
-    block_sizes = _block_schedule(block_size, sc.sequence_length)
+    block_sizes = _block_schedule(block_size, sc.sequence_length,
+                                  tts.dit_cfg.speaker_patch_size)
     spl = tts.ae_cfg.frame_length
     noises = []
     full = jnp.concatenate([

@@ -110,6 +110,14 @@ def sample_blockwise_stream(
     `_sample_block`, SURVEY.md §5.7)."""
     from echo_tts_tpu.models.dit import extend_latent_kv_jit, init_latent_kv_state
 
+    p = cfg.speaker_patch_size
+    cont = 0 if continuation_latent is None else int(continuation_latent.shape[1])
+    if any(int(s) % p for s in block_sizes) or cont % p:
+        raise ValueError(
+            f"block sizes {list(map(int, block_sizes))} and continuation "
+            f"length {cont} must be multiples of the latent patch size {p} "
+            f"(extend_latent_kv appends in patches; round with "
+            f"pipeline._block_schedule(..., patch={p}))")
     b = text_input_ids.shape[0]
     kv_text = get_kv_cache_text(params, cfg, text_input_ids, text_mask)
     kv_speaker = get_kv_cache_speaker(params, cfg, speaker_latent.astype(model_dtype))

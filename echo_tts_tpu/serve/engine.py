@@ -627,9 +627,13 @@ class Engine:
         will serve. Returns total warmup seconds.
 
         include_streaming additionally warms the streaming executables
-        (fused prologue + per-block-size steps for `stream_block_size`) on
-        the no-speaker shape — without it, the FIRST /tts_stream request
-        pays the multi-minute cold compile and the 333 ms TTFA claim only
+        (fused prologue + per-block-size steps for `stream_block_size`) —
+        for EVERY speaker bucket when `include_speaker_buckets` (the
+        streaming executables specialize on the speaker-KV shape exactly
+        like the one-shot ones, so a no-speaker-only warmup would leave the
+        first voice-cloning /tts_stream per bucket paying the multi-minute
+        cold compile while holding the device lock). Without it, the FIRST
+        /tts_stream request pays that compile and the 333 ms TTFA claim only
         holds from the second stream on."""
         sc = sc or SamplerConfig()
         pc = self.tts.pipe_cfg
@@ -655,12 +659,18 @@ class Engine:
                 sample_pipeline_stream_batch,
             )
 
+            # every speaker bucket, like the one-shot loop above: the fused
+            # prologue/per-block executables specialize on the speaker-KV
+            # shape, so each bucket is its own compile
+            for audio in prompts:
+                with self._lock:
+                    for _ in sample_pipeline_stream(
+                            self.tts, "Warmup.", audio, 0, sc=sc,
+                            block_size=stream_block_size, normalize_text=True,
+                            stop_at_flattening=False):
+                        pass
+                n_combos += 1
             with self._lock:
-                for _ in sample_pipeline_stream(
-                        self.tts, "Warmup.", None, 0, sc=sc,
-                        block_size=stream_block_size, normalize_text=True,
-                        stop_at_flattening=False):
-                    pass
                 # the flattening detector jit compiles per cumulative-prefix
                 # shape; real streams run with stop_at_flattening=True (the
                 # warmup stream cannot, or it would stop at block 1), so
@@ -668,27 +678,31 @@ class Engine:
                 # chunk waits on a cold detector compile
                 end = 0
                 for bs_ in _block_schedule(stream_block_size,
-                                           sc.sequence_length):
+                                           sc.sequence_length,
+                                           self.tts.dit_cfg.speaker_patch_size):
                     end += bs_
                     flattening.find_flattening_point(
                         np.zeros((end, self.tts.dit_cfg.latent_size),
                                  np.float32))
-            n_combos += 1
             # batched streaming compiles one executable set per power-of-2
             # batch size (_run_stream_batch rounds the group up, so a
             # non-power-of-2 max_batch still lands on the NEXT power of
-            # two) — warm them so the first concurrent stream group doesn't
-            # cold-compile while HOLDING the device lock
+            # two) AND per speaker bucket (groups share one bucket — the
+            # batch key includes it) — warm the cross product so the first
+            # concurrent stream group doesn't cold-compile while HOLDING
+            # the device lock
             b = 2
             while b <= _pow2_ceil(self.max_batch):
-                reqs = [("Warmup.", None, i) for i in range(b)]
-                with self._lock:
-                    for _ in sample_pipeline_stream_batch(
-                            self.tts, reqs, sc=sc,
-                            block_size=stream_block_size,
-                            normalize_text=True, stop_at_flattening=False):
-                        pass
-                n_combos += 1
+                for audio in prompts:
+                    reqs = [("Warmup.", audio, i) for i in range(b)]
+                    with self._lock:
+                        for _ in sample_pipeline_stream_batch(
+                                self.tts, reqs, sc=sc,
+                                block_size=stream_block_size,
+                                normalize_text=True,
+                                stop_at_flattening=False):
+                            pass
+                    n_combos += 1
                 b *= 2
         if self.max_batch > 1:
             # micro-batching compiles one executable per power-of-2 batch

@@ -70,7 +70,7 @@ def main():
             stream_blocks_fused,
         )
 
-        blocks = _block_schedule((64, 192), SEQ)
+        blocks = _block_schedule((64, 192), SEQ, cfg.speaker_patch_size)
         noises, off = [], 0
         for bs in blocks:
             noises.append(noise[:, off:off + bs])

@@ -16,6 +16,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
+# persistent compile cache (same policy as bench.py): a server restart
+# re-runs warmup, and without the cache every restart re-pays the full
+# multi-minute compile set through the relay
+_cache_dir = os.environ.get(
+    "ECHO_TTS_COMPILE_CACHE",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"))
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 
 def main():
     ap = argparse.ArgumentParser()

@@ -123,7 +123,8 @@ os._exit(1)  # abrupt death mid-assignment (work 6, 7 orphaned)
         fleet.observe_beat(0)
         orphans = fleet.reap()
         if orphans:
-            assert 0 not in fleet.health.last_beat or True
+            # only the dead host 1 is reaped; host 0 keeps beating
+            assert 0 in fleet.health.last_beat
             for w in orphans:  # resubmit locally
                 run_with_retry(lambda w=w: local_run(w))
                 fleet.complete(0, w)

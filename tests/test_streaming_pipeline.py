@@ -68,6 +68,52 @@ def test_block_schedule_expansion():
         _block_schedule([], 16)
 
 
+def test_block_schedule_patch_rounding():
+    """Requested sizes round UP to latent-patch multiples (extend_latent_kv
+    appends in patches; an unaligned block would die with an opaque reshape
+    error inside the fused streaming executable — ADVICE r3)."""
+    from echo_tts_tpu.pipeline.pipeline import _block_schedule
+
+    assert _block_schedule(6, 16, patch=4) == [8, 8]
+    assert _block_schedule(50, 640, patch=4) == [52] * 12 + [16]
+    assert _block_schedule((3, 9), 24, patch=4) == [4, 12, 8]
+    # aligned schedules pass through unchanged
+    assert _block_schedule((64, 192), 640, patch=4) == [64, 192, 192, 192]
+    sched = _block_schedule(50, 640, patch=4)
+    assert sum(sched) == 640 and all(s % 4 == 0 for s in sched)
+    with pytest.raises(ValueError, match="patch"):
+        _block_schedule(8, 14, patch=4)  # budget itself misaligned
+
+
+def test_blockwise_stream_rejects_misaligned_blocks(tiny_tts):  # noqa: F811
+    """The low-level sampler (explicit block_sizes API) raises a CLEAR error
+    for patch-misaligned blocks instead of an opaque reshape failure."""
+    from echo_tts_tpu.sampling.blockwise import sample_blockwise_stream
+
+    _, _, tts = tiny_tts
+    ids, text_mask, spk_lat, spk_mask = _prep(tts)
+    with pytest.raises(ValueError, match="patch size"):
+        next(sample_blockwise_stream(
+            tts.dit_params, tts.dit_cfg, SC, jnp.asarray(spk_lat),
+            jnp.asarray(spk_mask), jnp.asarray(ids), jnp.asarray(text_mask),
+            (6, 10), model_dtype=tts.model_dtype))
+
+
+def test_stream_unaligned_block_size_rounds(tiny_tts):  # noqa: F811
+    """A client block_size that is not a patch multiple (e.g. the HTTP API
+    accepts any int) is rounded up and streams successfully, matching the
+    aligned schedule it rounds to."""
+    _, _, tts = tiny_tts
+    chunks = list(sample_pipeline_stream(
+        tts, TEXT, None, rng_seed=3, sc=SC, block_size=6,
+        normalize_text=True, stop_at_flattening=False))
+    got = np.concatenate(chunks, axis=-1)
+    ref = np.concatenate(list(sample_pipeline_stream(
+        tts, TEXT, None, rng_seed=3, sc=SC, block_size=8,
+        normalize_text=True, stop_at_flattening=False)), axis=-1)
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_stream_variable_schedule_matches_blockwise(tiny_tts):  # noqa: F811
     """A (small-first-block) schedule through the streaming pipeline equals
     the non-streamed blockwise sampler with the same schedule — TTFA tuning
