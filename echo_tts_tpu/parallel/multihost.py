@@ -61,6 +61,12 @@ class HostHealth:
         """Forget a host (after its work has been reassigned)."""
         self.last_beat.pop(host_id, None)
 
+    def mark_dead(self, host_id: int) -> None:
+        """Force a host stale immediately (used when a stronger death signal
+        than a missed heartbeat exists — e.g. the coordinator spawned the
+        worker locally and saw its process exit with work pending)."""
+        self.last_beat[host_id] = -float("inf")
+
 
 class FleetCoordinator:
     """Utterance-level work distribution with failure recovery for a pure-DP
