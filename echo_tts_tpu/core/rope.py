@@ -27,7 +27,12 @@ def precompute_rope(dim: int, end: int, theta: float = 10000.0):
 
 
 def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
-    """Rotate x of shape (B, S, H, D) by per-position tables (S, D//2).
+    """Rotate x of shape (..., B, S, H, D) by per-position tables.
+
+    Tables are (S, D//2) shared across the batch, or (B, S, D//2) PER-ROW —
+    the continuous-batching path, where concurrent streams in one device
+    batch sit at different absolute positions (each row's table is gathered
+    at its own start offset).
 
     Pairs are adjacent lanes (x0,x1),(x2,x3),... matching the reference's
     `view_as_complex(x.reshape(..., -1, 2))` (model.py:17-24). Math in fp32,
@@ -37,8 +42,12 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
     xf = x.astype(jnp.float32)
     xr = xf[..., 0::2]
     xi = xf[..., 1::2]
-    c = cos[:, None, :]  # (S, 1, D//2) broadcasting over heads
-    s = sin[:, None, :]
+    if cos.ndim == 2:
+        c = cos[:, None, :]  # (S, 1, D//2) broadcasting over batch and heads
+        s = sin[:, None, :]
+    else:
+        c = cos[:, :, None, :]  # (B, S, 1, D//2): per-row positions; a
+        s = sin[:, :, None, :]  # leading group axis on x still broadcasts
     or_ = xr * c - xi * s
     oi_ = xr * s + xi * c
     out = jnp.stack([or_, oi_], axis=-1).reshape(x.shape)

@@ -220,7 +220,12 @@ def extend_latent_kv(params: dict, cfg: DiTConfig, state: dict,
     """Append `new_latent` (B, n*patch, latent_size — latents
     [start_pos, start_pos + n*patch), model dtype) into the incremental KV
     state. Exact vs a full re-encode: the encoder is causal and attention
-    over the zero-masked tail adds exact zeros."""
+    over the zero-masked tail adds exact zeros.
+
+    start_pos: scalar int32, or a (B,) vector for the continuous-batching
+    path where concurrent streams in one device batch sit at different
+    absolute positions (per-row RoPE gathers, causal masks, and vmapped
+    buffer writes)."""
     enc = params["latent_encoder"]
     p = cfg.speaker_patch_size
     b, s_lat, d_lat = new_latent.shape
@@ -229,19 +234,41 @@ def extend_latent_kv(params: dict, cfg: DiTConfig, state: dict,
     heads, hd = cfg.speaker_num_heads, cfg.speaker_head_dim
     d = cfg.speaker_model_size
     t_pat = state["enc_k"].shape[2]
-    pos_pat = start_pos // p
+    per_row = jnp.ndim(start_pos) == 1
+    pos_pat = jnp.asarray(start_pos, jnp.int32) // p
 
     x = new_latent.reshape(b, n, d_lat * p) @ enc["in_proj"]["w"] + enc["in_proj"]["b"]
     x = x / 6.0
 
     cos_full, sin_full = precompute_rope(hd, t_pat)
-    cos = jax.lax.dynamic_slice_in_dim(cos_full, pos_pat, n, axis=0)
-    sin = jax.lax.dynamic_slice_in_dim(sin_full, pos_pat, n, axis=0)
-    # causal mask over the full buffer: query at absolute patch pos_pat + i
-    # sees kv positions <= it; unwritten tail (zeros) is masked out
-    q_pos = pos_pat + jnp.arange(n)[:, None]
     kv_pos = jnp.arange(t_pat)[None, :]
-    mask = kv_pos <= q_pos  # (n, t_pat)
+    if per_row:
+        idx = pos_pat[:, None] + jnp.arange(n)[None, :]        # (B, n)
+        cos = jnp.take(cos_full, idx, axis=0)                  # (B, n, hd/2)
+        sin = jnp.take(sin_full, idx, axis=0)
+        # (B, n, t_pat): query at absolute patch idx[b, i] sees kv <= it
+        mask = kv_pos[None] <= idx[:, :, None]
+    else:
+        cos = jax.lax.dynamic_slice_in_dim(cos_full, pos_pat, n, axis=0)
+        sin = jax.lax.dynamic_slice_in_dim(sin_full, pos_pat, n, axis=0)
+        # causal mask over the full buffer: query at absolute patch
+        # pos_pat + i sees kv positions <= it; unwritten tail (zeros) is
+        # masked out
+        q_pos = pos_pat + jnp.arange(n)[:, None]
+        mask = jnp.broadcast_to(kv_pos <= q_pos, (n, t_pat))
+        mask = jnp.broadcast_to(mask[None], (b, n, t_pat))
+
+    def upd_rows(buf, new):
+        """Write `new` (B, n, ...) into buf (B, t_pat, ...) at each row's own
+        patch offset (vmapped dynamic_update_slice ≡ one slice-write when
+        start_pos is scalar)."""
+        new = new.astype(buf.dtype)
+        if per_row:
+            return jax.vmap(
+                lambda bb, nn, pp: jax.lax.dynamic_update_slice(
+                    bb, nn, (pp,) + (0,) * (bb.ndim - 1)))(buf, new, pos_pat)
+        return jax.lax.dynamic_update_slice(
+            buf, new, (0, pos_pat) + (0,) * (buf.ndim - 2))
 
     def body(x, per):
         a = per["p"]["attention"]
@@ -252,14 +279,12 @@ def extend_latent_kv(params: dict, cfg: DiTConfig, state: dict,
         v = v.reshape(b, n, heads, hd)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        kbuf = jax.lax.dynamic_update_slice(
-            per["k"], k.astype(per["k"].dtype), (0, pos_pat, 0, 0))
-        vbuf = jax.lax.dynamic_update_slice(
-            per["v"], v.astype(per["v"].dtype), (0, pos_pat, 0, 0))
+        kbuf = upd_rows(per["k"], k)
+        vbuf = upd_rows(per["v"], v)
         logits = jnp.einsum("bnhd,bthd->bhnt", q, kbuf,
                             preferred_element_type=jnp.float32)
         logits = logits / jnp.sqrt(jnp.float32(hd))
-        logits = jnp.where(mask[None, None], logits, jnp.float32(-1e30))
+        logits = jnp.where(mask[:, None], logits, jnp.float32(-1e30))
         w = jax.nn.softmax(logits, axis=-1).astype(vbuf.dtype)
         o = jnp.einsum("bhnt,bthd->bnhd", w, vbuf,
                        preferred_element_type=jnp.float32).astype(vbuf.dtype)
@@ -277,9 +302,12 @@ def extend_latent_kv(params: dict, cfg: DiTConfig, state: dict,
     # positions (pos_pat + i) * patch_size — reference model.py:623-636)
     x = rms_norm(x, params["latent_norm"], eps)
     cos_q, sin_q = precompute_rope(cfg.head_dim, t_pat * p)
-    idx = (pos_pat + jnp.arange(n)) * p
-    cos_l = jnp.take(cos_q, idx, axis=0)
-    sin_l = jnp.take(sin_q, idx, axis=0)
+    if per_row:
+        idx_l = (pos_pat[:, None] + jnp.arange(n)[None, :]) * p  # (B, n)
+    else:
+        idx_l = (pos_pat + jnp.arange(n)) * p
+    cos_l = jnp.take(cos_q, idx_l, axis=0)
+    sin_l = jnp.take(sin_q, idx_l, axis=0)
     attn = params["blocks"]["attention"]
 
     def proj(_, a):
@@ -293,11 +321,19 @@ def extend_latent_kv(params: dict, cfg: DiTConfig, state: dict,
     sub = {"wk_latent": attn["wk_latent"], "wv_latent": attn["wv_latent"],
            "k_norm": attn["k_norm"]}
     _, (ks, vs) = jax.lax.scan(proj, None, sub)
-    k_cache = jax.lax.dynamic_update_slice(
-        state["k"], ks.astype(state["k"].dtype), (0, 0, 0, pos_pat, 0))
-    v_cache = jax.lax.dynamic_update_slice(
-        state["v"], vs.astype(state["v"].dtype), (0, 0, 0, pos_pat, 0))
-    return {"enc_k": enc_k, "enc_v": enc_v, "k": k_cache, "v": v_cache}
+
+    def upd_cache(buf, new):
+        """(L, B, H, T, Dh) caches, written at each row's patch offset."""
+        new = new.astype(buf.dtype)
+        if per_row:
+            return jax.vmap(
+                lambda bb, nn, pp: jax.lax.dynamic_update_slice(
+                    bb, nn, (0, 0, pp, 0)),
+                in_axes=(1, 1, 0), out_axes=1)(buf, new, pos_pat)
+        return jax.lax.dynamic_update_slice(buf, new, (0, 0, 0, pos_pat, 0))
+
+    return {"enc_k": enc_k, "enc_v": enc_v,
+            "k": upd_cache(state["k"], ks), "v": upd_cache(state["v"], vs)}
 
 
 # module-level jitted form for standalone (continuation-seeding) callers: a
@@ -353,14 +389,15 @@ def set_attention_tp(mesh, axis: str = "tp") -> None:
 
 
 def _pallas_call_maybe_tp(q, k_self, v_self, segments, interpret: bool,
-                          layout: str):
+                          layout: str, self_len=None):
     """Route a Pallas attention call through shard_map when a TP mesh is
     registered (set_attention_tp), else call directly."""
     from echo_tts_tpu.ops.pallas_attention import joint_attention_grouped_pallas
 
     if _ATTN_TP is None:
         return joint_attention_grouped_pallas(
-            q, k_self, v_self, segments, interpret=interpret, layout=layout)
+            q, k_self, v_self, segments, interpret=interpret, layout=layout,
+            self_len=self_len)
 
     from jax import shard_map  # jax >= 0.8 API (check_vma, not check_rep)
     from jax.sharding import PartitionSpec as P
@@ -379,17 +416,21 @@ def _pallas_call_maybe_tp(q, k_self, v_self, segments, interpret: bool,
         seg_specs += [hspec(4, 1), hspec(4, 1), P(), P()]
     nseg = len(segments)
 
-    def local(q_, ks_, vs_, *fl):
+    sl = (jnp.zeros((q.shape[1],), jnp.int32) if self_len is None
+          else jnp.asarray(self_len, jnp.int32))
+
+    def local(q_, ks_, vs_, sl_, *fl):
         segs = [(fl[4 * i], fl[4 * i + 1], fl[4 * i + 2], fl[4 * i + 3])
                 for i in range(nseg)]
         return joint_attention_grouped_pallas(
-            q_, ks_, vs_, segs, interpret=interpret, layout=layout)
+            q_, ks_, vs_, segs, interpret=interpret, layout=layout,
+            self_len=None if self_len is None else sl_)
 
     return shard_map(
         local, mesh=mesh,
-        in_specs=(q_spec, q_spec, q_spec, *seg_specs),
+        in_specs=(q_spec, q_spec, q_spec, P(), *seg_specs),
         out_specs=q_spec, check_vma=False,
-    )(q, k_self, v_self, *flat)
+    )(q, k_self, v_self, sl, *flat)
 
 
 def _pick_attention_impl(d: int) -> str:
@@ -400,7 +441,7 @@ def _pick_attention_impl(d: int) -> str:
 
 
 def _joint_attention_grouped(q, k_self, v_self, segments, layout: str = "hm",
-                             attn_impl: Optional[str] = None):
+                             attn_impl: Optional[str] = None, self_len=None):
     """Segmented joint attention.
 
     q, k_self, v_self: (G, B, H, S, Dh) head-major (layout="hm") or
@@ -413,7 +454,9 @@ def _joint_attention_grouped(q, k_self, v_self, segments, layout: str = "hm",
     K*s / V*s (reference: inference.py:420-428). Segments stay separate all
     the way into the kernel: no concatenated-context materialization per
     layer, and the ctx KV reads broadcast across the CFG group axis.
-    Self keys are always visible (reference: model.py:249). fp32 softmax.
+    Self keys are always visible (reference: model.py:249) unless `self_len`
+    (B,) int32 bounds each row's visible self extent — the continuous-
+    batching final-partial-block mask. fp32 softmax.
     Returns the same layout as q.
     """
     impl = attn_impl or _pick_attention_impl(q.shape[-1])
@@ -423,6 +466,7 @@ def _joint_attention_grouped(q, k_self, v_self, segments, layout: str = "hm",
         )
 
         assert layout == "hm", "trainable path is head-major"
+        assert self_len is None, "self_len is inference-only"
         return joint_attention_grouped_trainable(
             q, k_self, v_self, [s[:4] for s in segments],
             interpret=(impl == "pallas_vjp_interpret"))
@@ -452,23 +496,29 @@ def _joint_attention_grouped(q, k_self, v_self, segments, layout: str = "hm",
                         for i in visible[gi]]
                 outs.append(_pallas_call_maybe_tp(
                     q[gi:gj], k_self[gi:gj], v_self[gi:gj], segs,
-                    interpret=interp, layout=layout))
+                    interpret=interp, layout=layout, self_len=self_len))
                 gi = gj
             return jnp.concatenate(outs, axis=0)
         return _pallas_call_maybe_tp(
             q, k_self, v_self, [s[:4] for s in segments], interpret=interp,
-            layout=layout)
+            layout=layout, self_len=self_len)
     if layout == "sm":  # XLA path computes head-major
         q = q.transpose(0, 1, 3, 2, 4)
         k_self = k_self.transpose(0, 1, 3, 2, 4)
         v_self = v_self.transpose(0, 1, 3, 2, 4)
         out = _joint_attention_grouped(q, k_self, v_self, segments, "hm",
-                                       attn_impl=attn_impl)
+                                       attn_impl=attn_impl, self_len=self_len)
         return out.transpose(0, 1, 3, 2, 4)
     g, b, h, s, d = q.shape
     scale = 1.0 / jnp.sqrt(jnp.float32(d))
     l_self = jnp.einsum("gbhsd,gbhtd->gbhst", q, k_self,
                         preferred_element_type=jnp.float32) * scale
+    if self_len is not None:
+        t_self = k_self.shape[3]
+        sb = jnp.where(jnp.arange(t_self)[None, :]
+                       < jnp.asarray(self_len, jnp.int32)[:, None],
+                       jnp.float32(0.0), jnp.float32(-1e30))  # (B, T)
+        l_self = l_self + sb[None, :, None, None, :]
     logits = [l_self]
     for seg in segments:
         k, v, mask, s_kv = seg[:4]  # optional 5th (branch skips) is a
@@ -516,6 +566,8 @@ def _dit_forward_grouped(
     #   finetuning OOMs; ~1/3 extra fwd FLOPs in the bwd pass)
     attn_impl: Optional[str] = None,  # explicit impl override (training picks
     #   a differentiable one); None = module-level dispatch
+    self_len=None,         # (B,) int32: per-row visible self extent
+    #   (continuous-batching final-partial-block mask)
 ) -> jnp.ndarray:
     """Core trunk (reference: model.py:563-604). Returns fp32 (G, B, S, D_lat)."""
     g, b, s, _ = x.shape
@@ -600,7 +652,7 @@ def _dit_forward_grouped(
 
         o = _joint_attention_grouped(q, k_self, v_self, segments,
                                      layout="sm" if seq_major else "hm",
-                                     attn_impl=attn_impl)
+                                     attn_impl=attn_impl, self_len=self_len)
         if not seq_major:
             o = o.transpose(0, 1, 3, 2, 4)
         o = o.reshape(g, b, s, cfg.model_size)
@@ -627,7 +679,7 @@ def dit_forward(
     speaker_mask: jnp.ndarray,          # (B, S_spk_latents) bool (pre-stride)
     kv_text, kv_speaker,
     rope_q=None, kv_latent=None, latent_mask=None, speaker_kv_scale=None,
-    remat: bool = False, attn_impl: Optional[str] = None,
+    remat: bool = False, attn_impl: Optional[str] = None, self_len=None,
 ) -> jnp.ndarray:
     """Single-branch forward (reference: model.py:563-604), fp32 output.
 
@@ -644,7 +696,7 @@ def dit_forward(
         kv_text, kv_speaker, rope_q,
         kv_latent if has_latent else None,
         latent_mask[None] if has_latent else None, speaker_kv_scale,
-        remat=remat, attn_impl=attn_impl)
+        remat=remat, attn_impl=attn_impl, self_len=self_len)
     return out[0]
 
 
@@ -656,7 +708,7 @@ def dit_forward_cfg(
     text_mask, speaker_mask,            # (B, T) bool, conditional masks
     kv_text, kv_speaker,
     rope_q=None, kv_latent=None, latent_mask=None, speaker_kv_scale=None,
-    joint_uncond: bool = False,
+    joint_uncond: bool = False, self_len=None,
 ) -> jnp.ndarray:
     """CFG forward: [cond, text-uncond, speaker-uncond] (3 branches), or
     [cond, joint-uncond] (2 branches) when joint_uncond.
@@ -687,7 +739,7 @@ def dit_forward_cfg(
     return _dit_forward_grouped(
         params, cfg, xg, t, text_m, spk_m, kv_text, kv_speaker,
         rope_q, kv_latent if has_latent else None, lm, speaker_kv_scale,
-        branch_skips=branch_skips)
+        branch_skips=branch_skips, self_len=self_len)
 
 
 # ---------------------------------------------------------------------------

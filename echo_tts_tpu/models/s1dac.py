@@ -167,12 +167,18 @@ def _ae_rope_tables(seq_len: int, head_dim: int, base: float = 10000.0):
 
 
 def _ae_apply_rope(x, cos, sin):
-    """reference: autoencoder.py:815-826 — adjacent-pair rotation, fp32."""
+    """reference: autoencoder.py:815-826 — adjacent-pair rotation, fp32.
+    Tables are (S, D/2), or (B, S, D/2) per-row (continuous batching: rows
+    of one device batch at different absolute stream positions)."""
     dtype = x.dtype
     xf = x.astype(jnp.float32)
     xr, xi = xf[..., 0::2], xf[..., 1::2]
-    c = cos[:, None, :]
-    s = sin[:, None, :]
+    if cos.ndim == 2:
+        c = cos[:, None, :]
+        s = sin[:, None, :]
+    else:
+        c = cos[:, :, None, :]
+        s = sin[:, :, None, :]
     out = jnp.stack([xr * c - xi * s, xi * c + xr * s], axis=-1).reshape(x.shape)
     return out.astype(dtype)
 
@@ -744,14 +750,18 @@ def _res_chain_stream_cl(x_cl, tail_cl, units, dilations, pad_rows):
 
     ctx = tail_cl.shape[1]
     xw = jnp.concatenate([tail_cl, x_cl], axis=1)
+    # scalar or (B,) per-row (continuous batching: rows at different stream
+    # positions have different residual pad extents)
+    pr = jnp.broadcast_to(jnp.asarray(pad_rows, jnp.int32).reshape(-1),
+                          (xw.shape[0],))
     impl = _pick_conv_impl()
     if impl in ("pallas", "pallas_interpret"):
         y = res_units_cl(xw, units, dilations,
                          interpret=(impl == "pallas_interpret"),
-                         zero_below=pad_rows)
+                         zero_below=pr)
     else:
         y = xw
-        dead = (jnp.arange(xw.shape[1])[None, :, None] < pad_rows)
+        dead = (jnp.arange(xw.shape[1])[None, :, None] < pr[:, None, None])
         for u, d in zip(units, dilations):
             y = _residual_unit_cl(y, u, dilation=d)
             y = jnp.where(dead, jnp.zeros_like(y), y)
@@ -770,19 +780,32 @@ def _window_transformer_stream(x, p: dict, kv, pos0, *, n_head: int,
     Exact vs the full window_transformer: queries see exactly the same
     positions (the window reaches window-1 back), softmax over the masked
     extras adds exact zeros, RoPE uses absolute positions from the shared
-    bf16-quantized tables."""
+    bf16-quantized tables.
+
+    pos0: scalar int32, or (B,) per-row offsets (continuous batching — each
+    row of the device batch is its own stream at its own position)."""
     x = x.transpose(0, 2, 1)  # (B, S, C)
     b, s, d = x.shape
     n_cache = window - 1
+    per_row = jnp.ndim(pos0) == 1
+    pos0 = jnp.asarray(pos0, jnp.int32)
     cos_full, sin_full = _ae_rope_tables(max_positions, head_dim)
-    cos = jax.lax.dynamic_slice_in_dim(cos_full, pos0, s, axis=0)
-    sin = jax.lax.dynamic_slice_in_dim(sin_full, pos0, s, axis=0)
-
     # kv slot j holds absolute position pos0 - n_cache + j; query i is at
     # pos0 + i. Causal+window: j in [i, i + n_cache]; validity: abs >= 0.
     i = jnp.arange(s)[:, None]
     j = jnp.arange(n_cache + s)[None, :]
-    mask = (j >= i) & (j <= i + n_cache) & (j >= n_cache - pos0)
+    if per_row:
+        idx = pos0[:, None] + jnp.arange(s)[None, :]           # (B, s)
+        cos = jnp.take(cos_full, idx, axis=0)                  # (B, s, D/2)
+        sin = jnp.take(sin_full, idx, axis=0)
+        mask = ((j >= i) & (j <= i + n_cache))[None] \
+            & (j[None] >= n_cache - pos0[:, None, None])       # (B, s, t)
+    else:
+        cos = jax.lax.dynamic_slice_in_dim(cos_full, pos0, s, axis=0)
+        sin = jax.lax.dynamic_slice_in_dim(sin_full, pos0, s, axis=0)
+        mask = jnp.broadcast_to(
+            (j >= i) & (j <= i + n_cache) & (j >= n_cache - pos0),
+            (b, s, n_cache + s))
 
     new_kv = []
     for layer, lkv in zip(p["layers"], kv):
@@ -798,7 +821,7 @@ def _window_transformer_stream(x, p: dict, kv, pos0, *, n_head: int,
         scale = 1.0 / jnp.sqrt(jnp.float32(head_dim))
         logits = jnp.einsum("bshd,bthd->bhst", q, kc.astype(q.dtype),
                             preferred_element_type=jnp.float32) * scale
-        logits = jnp.where(mask[None, None], logits, jnp.float32(-1e30))
+        logits = jnp.where(mask[:, None], logits, jnp.float32(-1e30))
         w_ = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
         o = jnp.einsum("bhst,bthd->bshd", w_, vc.astype(v.dtype),
                        preferred_element_type=jnp.float32).astype(v.dtype)
@@ -815,9 +838,14 @@ def _window_transformer_stream(x, p: dict, kv, pos0, *, n_head: int,
 
 
 def streaming_decode_init(params: dict, cfg: AEConfig, batch: int,
-                          dtype=None) -> dict:
+                          dtype=None, per_row_pos: bool = False) -> dict:
     """Zero state for decode_zq_stream_step. dtype defaults to the AE params'
-    dtype (the computation dtype of every carried activation)."""
+    dtype (the computation dtype of every carried activation).
+
+    per_row_pos: store the stream position as a (B,) vector — the
+    continuous-batching state form, where each row of the device batch is an
+    independent stream at its own position (decode_zq_stream_step handles
+    both forms)."""
     from echo_tts_tpu.ops.pallas_conv import chain_ctx
 
     if dtype is None:
@@ -839,7 +867,7 @@ def streaming_decode_init(params: dict, cfg: AEConfig, batch: int,
                        "chain": z(batch, chain_ctx((1, 3, 9), 7), out_ch)})
         ch = out_ch
     return {
-        "pos": jnp.zeros((), jnp.int32),
+        "pos": jnp.zeros((batch,) if per_row_pos else (), jnp.int32),
         "kv": kv,
         "up": up,                               # ConvNeXt dw-conv tails (NCH)
         "stem": z(batch, 6, cfg.latent_dim),    # channels-last tails below

@@ -46,7 +46,10 @@ _NEG = -1e30  # plain float: jnp scalars would be captured consts inside the ker
 _LOG2E = 1.4426950408889634
 
 
-def _kernel(*refs, scale: float, s_real: int, nseg: int, seq_major: bool):
+def _kernel(*refs, scale: float, s_real: int, nseg: int, seq_major: bool,
+            has_self_len: bool = False):
+    if has_self_len:
+        sl_ref, refs = refs[0], refs[1:]
     q_ref, ks_ref, vs_ref = refs[0], refs[1], refs[2]
     seg_refs = refs[3:3 + 4 * nseg]
     o_ref = refs[3 + 4 * nseg]
@@ -67,9 +70,19 @@ def _kernel(*refs, scale: float, s_real: int, nseg: int, seq_major: bool):
     ls = jax.lax.dot_general(q, ks, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32) * scale
     # mask padded self rows (q/k_self padded to a tile multiple by the
-    # wrapper) — arithmetic bias, not a select (selects relayout; docstring)
+    # wrapper) — arithmetic bias, not a select (selects relayout; docstring).
+    # With has_self_len the visible self extent is PER-ROW (continuous
+    # batching: a row finishing mid-group samples a full-size block but only
+    # its first self_len positions are its real sequence; the rest must not
+    # be attended or the valid positions' values drift from a solo run).
     s_pad = ks.shape[0]
-    if s_pad != s_real:
+    if has_self_len:
+        sl = sl_ref[pl.program_id(0)]  # grid dim 0 is batch
+        col = jax.lax.broadcasted_iota(jnp.int32, ls.shape, 1)
+        pad_bias = jnp.maximum(jnp.minimum(
+            (sl - 1 - col).astype(jnp.float32), 0.0), -1.0) * (-_NEG)
+        ls = ls + pad_bias
+    elif s_pad != s_real:
         col = jax.lax.broadcasted_iota(jnp.int32, ls.shape, 1)
         pad_bias = jnp.maximum(jnp.minimum(
             (s_real - 1 - col).astype(jnp.float32), 0.0), -1.0) * (-_NEG)
@@ -126,7 +139,7 @@ def _pad_to(x, axis, mult):
 
 def joint_attention_grouped_pallas(q, k_self, v_self, segments,
                                    interpret: bool = False,
-                                   layout: str = "hm"):
+                                   layout: str = "hm", self_len=None):
     """q/k_self/v_self: (G, B, H, S, D) head-major (layout="hm") or
     (G, B, S, H, D) seq-major (layout="sm" — the projections' natural shape;
     skips the XLA transpose copies around the kernel, the head slice is a
@@ -134,6 +147,10 @@ def joint_attention_grouped_pallas(q, k_self, v_self, segments,
     (k (B, H, T, D), v, mask (G, B, T) bool, scale scalar or None).
     Returns the same layout as q, in v dtype — same contract as
     models.dit._joint_attention_grouped.
+
+    self_len: optional (B,) int32 — per-row visible extent of the SELF keys
+    (continuous batching: a row on its final partial block must not attend
+    the block positions past its own budget). None = all self keys visible.
 
     Unaligned T is handled by Mosaic's internal tile padding (measured within
     noise of a 128-aligned T at these sizes), so no host-visible padding of
@@ -187,6 +204,9 @@ def joint_attention_grouped_pallas(q, k_self, v_self, segments,
             pl.BlockSpec((1, 1, 1, s_kv, d), lambda bb, hh, qq, gg: (gg, bb, hh, 0, 0)),
         ]
     args = [qt, kst, vst]
+    if self_len is not None:
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
+        args = [jnp.asarray(self_len, jnp.int32).reshape(b)] + args
     for k, v, mask, s_kv_scale in segments:
         t = k.shape[2]
         in_specs += [
@@ -220,7 +240,8 @@ def joint_attention_grouped_pallas(q, k_self, v_self, segments,
 
     out = pl.pallas_call(
         functools.partial(_kernel, scale=scale, s_real=s, nseg=nseg,
-                          seq_major=seq_major),
+                          seq_major=seq_major,
+                          has_self_len=self_len is not None),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_spec,

@@ -59,6 +59,7 @@ def _sin2(t):
 
 def _res_chain_kernel(zb_ref, x_cur, x_prev, a1, a2, w7, b7, w1, b1, o_ref, *,
                       dilations: Sequence[int], halo: int, kernel_size: int):
+    bb = pl.program_id(0)
     ii = pl.program_id(1)
     cur = x_cur[0]                      # (TQ, C)
     prev_tail = x_prev[0][-halo:, :]    # (H, C) — garbage when ii == 0
@@ -76,7 +77,7 @@ def _res_chain_kernel(zb_ref, x_cur, x_prev, a1, a2, w7, b7, w1, b1, o_ref, *,
     # start (the tail rows sit at window rows [halo, halo+zb) — window
     # coordinates include the prefix) and 0 mid-stream.
     row = jax.lax.broadcasted_iota(jnp.int32, (twin, 1), 0)
-    live = jnp.logical_or(ii > 0, row >= halo + zb_ref[0])
+    live = jnp.logical_or(ii > 0, row >= halo + zb_ref[bb])
 
     for u, d in enumerate(dilations):
         # snake1 (fp32 on the VPU, cast back for the MXU)
@@ -122,9 +123,10 @@ def fused_res_chain_cl(x: jnp.ndarray, units: Sequence[dict],
     conv2 {w (O,I,1), b}} — same pytree as models.s1dac._residual_unit_cl.
     Matches the XLA path bit-for-tolerance (tests/test_pallas_conv.py).
 
-    zero_below: optional traced int32 — EXTRA leading SEQUENCE rows (beyond
-    the kernel's own synthetic zero prefix, which is always re-zeroed)
-    re-zeroed after every unit because they stand for the causal zero pad.
+    zero_below: optional traced int32, scalar or (B,) per-row — EXTRA leading
+    SEQUENCE rows (beyond the kernel's own synthetic zero prefix, which is
+    always re-zeroed) re-zeroed after every unit because they stand for the
+    causal zero pad.
     Default (None/0) = x starts the sequence with no carried rows. Streaming
     callers whose x is [carried tail | chunk] pass the tail length
     (chain_ctx(...)) when the stream starts — zero-initialized tail rows ARE
@@ -137,7 +139,10 @@ def fused_res_chain_cl(x: jnp.ndarray, units: Sequence[dict],
     halo = _round_up(sum((kernel_size - 1) * d for d in dilations), 16)
     if zero_below is None:
         zero_below = 0
-    zb = jnp.reshape(jnp.asarray(zero_below, jnp.int32), (1,))
+    # scalar or (B,) per-row (continuous batching: rows of one device batch
+    # at different stream positions); the kernel indexes by the batch
+    # program id either way
+    zb = jnp.broadcast_to(jnp.asarray(zero_below, jnp.int32).reshape(-1), (b,))
     # shrink the time tile as channels grow so window temps + weights fit
     # VMEM (~0.4 MB per in/out block, several fp32 temps of window size)
     tq = tile_t

@@ -139,6 +139,123 @@ def _stream_first_block(dit_params, dit_cfg, sc, ae_params, ae_cfg, pca,
             audio.astype(jnp.float32))
 
 
+@_partial(jax.jit, static_argnames=("dit_cfg", "sc", "ae_cfg", "block_size",
+                                    "total_len", "model_dtype",
+                                    "max_positions"),
+          donate_argnums=(6,))
+def _stream_step_rows(dit_params, dit_cfg, sc, ae_params, ae_cfg, pca,
+                      gs, start_pos, valid_len, noise, block_size, total_len,
+                      model_dtype, max_positions):
+    """Continuous-batching streaming step: one fused executable samples a
+    `block_size` block for EVERY row of the group at its OWN position
+    (start_pos (B,) int32), appends each row's latent KV, and decodes the
+    block through the per-row stateful vocoder. valid_len (B,) masks each
+    row's in-block self keys past its remaining budget (a retiring row's
+    final partial block must equal the solo run on its valid positions) —
+    free/retired slots pass valid_len=0 and their outputs are discarded.
+
+    gs is the donated device-resident group state:
+      kv_text/kv_speaker  (L, B, H, T, Dh) per-row conditioning caches
+      text_mask/speaker_mask (B, T) bool
+      prefix (B, total_len, latent) fp32   lat (dit.init_latent_kv_state)
+      dec (s1dac.streaming_decode_init per_row_pos=True)
+    total_len includes one block of headroom past the sampler budget so a
+    final partial block can write [pos, pos + block) in bounds.
+
+    No reference analogue: the reference serves one utterance per call
+    (gradio_app.py:229-430); this is the block-boundary-join serving design
+    (VERDICT r3 item 4)."""
+    from echo_tts_tpu.sampling.blockwise import sample_block_core
+
+    prefix, lat_state = sample_block_core(
+        dit_params, dit_cfg, sc, gs["prefix"], gs["lat"], start_pos, noise,
+        gs["text_mask"], gs["speaker_mask"], gs["kv_text"], gs["kv_speaker"],
+        block_size, total_len, model_dtype, valid_len=valid_len)
+    block_lat = jax.vmap(
+        lambda row, pp: jax.lax.dynamic_slice_in_dim(row, pp, block_size,
+                                                     axis=0)
+    )(prefix, jnp.asarray(start_pos, jnp.int32))
+    ae_dtype = jax.tree_util.tree_leaves(ae_params)[0].dtype
+    z_q = _pca_mod.deproject(pca, block_lat).astype(ae_dtype)
+    audio, dec_state = _s1dac.decode_zq_stream_step(
+        ae_params, ae_cfg, gs["dec"], z_q, max_positions)
+    gs = dict(gs, prefix=prefix, lat=lat_state, dec=dec_state)
+    return gs, audio.astype(jnp.float32)
+
+
+@_partial(jax.jit, static_argnames=("dit_cfg", "ae_cfg", "model_dtype"),
+          donate_argnums=(4,))
+def _join_row(dit_params, dit_cfg, ae_params, ae_cfg, gs, row, ids, tmask,
+              spk_latent, smask, model_dtype):
+    """Admit a new stream into slot `row` of a RUNNING group (one fused
+    dispatch): build its text/speaker KV, write them into the carried
+    caches, and zero the slot's prefix / latent-KV / vocoder state. `row` is
+    traced, so one executable serves every slot."""
+    from echo_tts_tpu.models.dit import get_kv_cache_speaker, get_kv_cache_text
+
+    kt = get_kv_cache_text(dit_params, dit_cfg, ids, tmask)
+    ks = get_kv_cache_speaker(dit_params, dit_cfg,
+                              spk_latent.astype(model_dtype))
+    row = jnp.asarray(row, jnp.int32)
+
+    def put1(buf, new):  # (L, B, H, T, Dh) caches: row slot on axis 1
+        return jax.lax.dynamic_update_slice(
+            buf, new.astype(buf.dtype), (0, row) + (0,) * (buf.ndim - 2))
+
+    def zero_row(buf, axis):
+        idx = (slice(None),) * axis + (row,)
+        return buf.at[idx].set(jnp.zeros(buf.shape[:axis] + buf.shape[axis + 1:],
+                                         buf.dtype))
+
+    gs = dict(gs)
+    gs["kv_text"] = tuple(put1(b, n) for b, n in zip(gs["kv_text"], kt))
+    gs["kv_speaker"] = tuple(put1(b, n) for b, n in zip(gs["kv_speaker"], ks))
+    gs["text_mask"] = gs["text_mask"].at[row].set(tmask[0])
+    gs["speaker_mask"] = gs["speaker_mask"].at[row].set(smask[0])
+    gs["prefix"] = zero_row(gs["prefix"], 0)
+    gs["lat"] = {k: zero_row(v, 1) for k, v in gs["lat"].items()}
+    dec = {"pos": gs["dec"]["pos"].at[row].set(0),
+           "kv": [{k: zero_row(v, 0) for k, v in l.items()}
+                  for l in gs["dec"]["kv"]],
+           "up": [zero_row(v, 0) for v in gs["dec"]["up"]],
+           "stem": zero_row(gs["dec"]["stem"], 0),
+           "blocks": [{k: zero_row(v, 0) for k, v in b.items()}
+                      for b in gs["dec"]["blocks"]],
+           "head": zero_row(gs["dec"]["head"], 0)}
+    gs["dec"] = dec
+    return gs
+
+
+def init_stream_group(tts: EchoTTS, batch: int, total_len: int,
+                      text_len: int, spk_len: int):
+    """Fresh device-resident group state for the continuous scheduler: all
+    slots free (zero caches, all-false masks — fully-masked segments
+    contribute exact zeros, so inert)."""
+    from echo_tts_tpu.models.dit import init_latent_kv_state
+
+    cfg = tts.dit_cfg
+    ae_dtype = jax.tree_util.tree_leaves(tts.ae_params)[0].dtype
+    md = tts.model_dtype
+    n_spk_pat = spk_len // cfg.speaker_patch_size
+    z = lambda *s: jnp.zeros(s, md)  # noqa: E731
+    return {
+        "kv_text": (z(cfg.num_layers, batch, cfg.num_heads, text_len,
+                      cfg.head_dim),
+                    z(cfg.num_layers, batch, cfg.num_heads, text_len,
+                      cfg.head_dim)),
+        "kv_speaker": (z(cfg.num_layers, batch, cfg.num_heads, n_spk_pat,
+                         cfg.head_dim),
+                       z(cfg.num_layers, batch, cfg.num_heads, n_spk_pat,
+                         cfg.head_dim)),
+        "text_mask": jnp.zeros((batch, text_len), jnp.bool_),
+        "speaker_mask": jnp.zeros((batch, spk_len), jnp.bool_),
+        "prefix": jnp.zeros((batch, total_len, cfg.latent_size), jnp.float32),
+        "lat": init_latent_kv_state(tts.dit_params, cfg, batch, total_len, md),
+        "dec": _s1dac.streaming_decode_init(tts.ae_params, tts.ae_cfg, batch,
+                                            dtype=ae_dtype, per_row_pos=True),
+    }
+
+
 @dataclasses.dataclass
 class EchoTTS:
     """Bundles the three weight sets (reference loads them separately:

@@ -39,10 +39,18 @@ def sample_block_core(
     block_size: int,
     total_len: int,
     model_dtype,
+    valid_len=None,               # (B,) int32: per-row valid positions of
+    #   THIS block (continuous batching — a row on its final partial block
+    #   masks in-block self keys past its budget; see self_len in dit.py)
 ):
     """Unjitted single-block step (jit/fuse at the call site: `_sample_block`
     here; the streaming pipeline fuses it with the stateful vocoder step in
     pipeline._sample_block_and_decode).
+
+    start_pos: scalar int32 (all rows aligned), or (B,) int32 for the
+    continuous-batching path where each row of the device batch sits at its
+    own absolute position (per-row RoPE, latent-key gating, and prefix
+    writes; dit.extend_latent_kv handles the per-row KV append).
 
     The latent-prefix KV is INCREMENTAL (dit.extend_latent_kv): the latent
     encoder is causal, so each completed block's KV is appended into the
@@ -53,16 +61,26 @@ def sample_block_core(
     via the `latent_pos < start_pos` mask (reference model.py:243-244)."""
     from echo_tts_tpu.models.dit import extend_latent_kv
 
+    per_row = jnp.ndim(start_pos) == 1
+    start_pos = jnp.asarray(start_pos, jnp.int32)
     kv_latent = (lat_state["k"], lat_state["v"])
     n_lat = kv_latent[0].shape[3]
     latent_positions = jnp.arange(n_lat) * cfg.speaker_patch_size
-    latent_mask = (latent_positions[None, :] < start_pos)
+    sp_col = start_pos[:, None] if per_row else start_pos
+    latent_mask = (latent_positions[None, :] < sp_col)
     latent_mask = jnp.broadcast_to(latent_mask, (prefix_latent.shape[0], n_lat))
 
     # query RoPE at positions [start_pos, start_pos + block)
     cos_full, sin_full = precompute_rope(cfg.head_dim, total_len)
-    cos = jax.lax.dynamic_slice_in_dim(cos_full, start_pos, block_size, axis=0)
-    sin = jax.lax.dynamic_slice_in_dim(sin_full, start_pos, block_size, axis=0)
+    if per_row:
+        idx = start_pos[:, None] + jnp.arange(block_size)[None, :]  # (B, bs)
+        cos = jnp.take(cos_full, idx, axis=0)
+        sin = jnp.take(sin_full, idx, axis=0)
+    else:
+        cos = jax.lax.dynamic_slice_in_dim(cos_full, start_pos, block_size,
+                                           axis=0)
+        sin = jax.lax.dynamic_slice_in_dim(sin_full, start_pos, block_size,
+                                           axis=0)
 
     x_init = noise
     if sc.truncation_factor is not None:
@@ -71,13 +89,18 @@ def sample_block_core(
     x_out = euler_cfg_scan(
         params, cfg, sc, x_init, text_mask, speaker_mask, kv_text, kv_speaker,
         model_dtype, rope_q=(cos, sin), kv_latent=kv_latent,
-        latent_mask=latent_mask)
+        latent_mask=latent_mask, self_len=valid_len)
 
     # append this block's KV for the NEXT block's conditioning
     lat_state = extend_latent_kv(params, cfg, lat_state,
                                  x_out.astype(model_dtype), start_pos)
-    prefix_latent = jax.lax.dynamic_update_slice(
-        prefix_latent, x_out, (0, start_pos, 0))
+    if per_row:
+        prefix_latent = jax.vmap(
+            lambda buf, row, pp: jax.lax.dynamic_update_slice(
+                buf, row, (pp, 0)))(prefix_latent, x_out, start_pos)
+    else:
+        prefix_latent = jax.lax.dynamic_update_slice(
+            prefix_latent, x_out, (0, start_pos, 0))
     return prefix_latent, lat_state
 
 

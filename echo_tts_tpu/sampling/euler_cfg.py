@@ -73,6 +73,9 @@ def euler_cfg_scan(
     rope_q=None,
     kv_latent=None,
     latent_mask=None,
+    self_len=None,   # (B,) int32: per-row visible self extent (continuous
+    #   batching — a row's final partial block masks in-block keys past its
+    #   own budget so emitted positions match a solo run exactly)
 ) -> jnp.ndarray:
     """The hot loop: scan over Euler steps (reference: inference.py:508-558).
     Sampler state x_t stays fp32 (inference.py:499-506)."""
@@ -86,7 +89,7 @@ def euler_cfg_scan(
             params, cfg, x.astype(model_dtype), t_b, text_mask, speaker_mask,
             kv_text, kv_speaker, rope_q=rope_q, kv_latent=kv_latent,
             latent_mask=latent_mask, speaker_kv_scale=s_vec,
-            joint_uncond=sc.joint_uncond)
+            joint_uncond=sc.joint_uncond, self_len=self_len)
         v_cond = v[0]
         if sc.joint_uncond:
             # single shared unconditional (reference comment,
@@ -100,7 +103,8 @@ def euler_cfg_scan(
         return dit_forward(
             params, cfg, x.astype(model_dtype), t_b, text_mask, speaker_mask,
             kv_text, kv_speaker, rope_q=rope_q, kv_latent=kv_latent,
-            latent_mask=latent_mask, speaker_kv_scale=s_vec)
+            latent_mask=latent_mask, speaker_kv_scale=s_vec,
+            self_len=self_len)
 
     def guide(v_cond, v_ut, v_us):
         return (v_cond
