@@ -180,7 +180,10 @@ def _stream_step_rows(dit_params, dit_cfg, sc, ae_params, ae_cfg, pca,
     audio, dec_state = _s1dac.decode_zq_stream_step(
         ae_params, ae_cfg, gs["dec"], z_q, max_positions)
     gs = dict(gs, prefix=prefix, lat=lat_state, dec=dec_state)
-    return gs, audio.astype(jnp.float32)
+    # block_lat returned for the host-side flattening detector: the
+    # scheduler accumulates per-row latents instead of re-fetching the
+    # whole prefix every block (one jax.device_get covers audio + latents)
+    return gs, audio.astype(jnp.float32), block_lat
 
 
 @_partial(jax.jit, static_argnames=("dit_cfg", "ae_cfg", "model_dtype"),

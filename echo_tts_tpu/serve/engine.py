@@ -119,7 +119,8 @@ class Engine:
     def __init__(self, tts: EchoTTS, max_retries: int = 1, int8: bool = False,
                  int8_encoders: bool = False, max_batch: int = 1,
                  batch_wait_ms: float = 10.0, speaker_cache_size: int = 8,
-                 mesh=None):
+                 mesh=None, continuous: bool = False,
+                 continuous_block: int = 64):
         """int8: opt-in W8A8 trunk quantization (models/quant.py) — applied
         to the effective params after any LoRA merge; the bf16 base stays
         resident for future merges. ~1.34x serving throughput (BASELINE.md)
@@ -147,6 +148,15 @@ class Engine:
         re-placed with the explicit parallel.sharding.param_pspecs specs, so
         int8 {"q","s"} leaves get their declared TP split rather than
         whatever GSPMD propagation picked inside the quantize jit.
+
+        continuous (requires max_batch > 1): block-boundary CONTINUOUS
+        batching for streams (serve/continuous.py) — new streams join a
+        RUNNING group at the next block boundary instead of waiting for the
+        whole group; per-row audio equals the solo stream with the same
+        seed at a uniform `continuous_block` schedule. Trades the solo
+        fused-prologue TTFA for bounded join latency under concurrent
+        load. A request's block_size spec collapses to its last entry as
+        the uniform group block (the group shares one block size).
         """
         import dataclasses
 
@@ -169,6 +179,10 @@ class Engine:
                                if speaker_cache_size > 0 else None)
         self.max_batch = max_batch
         self.batch_wait_ms = batch_wait_ms
+        self.continuous = continuous and max_batch > 1
+        self.continuous_block = continuous_block
+        self._cont_scheds = {}
+        self._cont_mu = threading.Lock()
         self._queue = []
         self._qcond = threading.Condition()
         self._shutdown = False
@@ -501,6 +515,10 @@ class Engine:
         sample_pipeline_stream_batch) — per-stream audio identical to the
         solo stream with the same seed. Continuations always stream solo."""
         sc = sc or SamplerConfig()
+        if self.continuous and continuation_audio is None:
+            return self._generate_stream_continuous(
+                text, speaker_audio, seed, sc, block_size, normalize_text,
+                buffer_chunks)
         if self.max_batch > 1 and continuation_audio is None:
             return self._generate_stream_queued(
                 text, speaker_audio, seed, sc, block_size, normalize_text,
@@ -508,6 +526,53 @@ class Engine:
         return self._generate_stream_direct(
             text, speaker_audio, seed, sc, block_size, normalize_text,
             continuation_audio, buffer_chunks)
+
+    def _continuous_group_size(self) -> int:
+        return _pow2_ceil(self.max_batch)
+
+    def _generate_stream_continuous(self, text, speaker_audio, seed, sc,
+                                    block_size, normalize_text,
+                                    buffer_chunks):
+        """Route a stream through the block-boundary continuous scheduler
+        (serve/continuous.py): submit to the live group for this
+        compatibility key, or start one. The consume loop is identical to
+        the micro-batched path — chunks arrive through the request's
+        bounded queue."""
+        from echo_tts_tpu.serve.continuous import ContinuousStreamScheduler
+
+        # uniform group block: an int spec directly; a schedule collapses
+        # to its last (steady-state) entry
+        bs = (int(block_size) if isinstance(block_size, (int, np.integer))
+              else int(list(block_size)[-1]))
+        p = self.tts.dit_cfg.speaker_patch_size
+        bs = -(-bs // p) * p
+        base_key = self._batch_key(text, speaker_audio, sc, normalize_text)
+        key = ("cont", bs, base_key)
+        req = _PendingStream(text, speaker_audio, seed, sc, normalize_text,
+                             (bs,), key, buffer_chunks)
+        with self._cont_mu:
+            if self._shutdown:
+                raise RuntimeError("engine is closed")
+            sched = self._cont_scheds.get(key)
+            if sched is None or not sched.submit(req):
+                sched = ContinuousStreamScheduler(
+                    self, key, bs, sc, normalize_text,
+                    spk_bucket=base_key[3])
+                assert sched.submit(req)
+                self._cont_scheds[key] = sched
+        try:
+            while True:
+                item = req.queue.get()
+                if item is _PendingStream.END:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            req.gone.set()
+            from echo_tts_tpu.utils.queues import drain
+
+            drain(req.queue)
 
     def _generate_stream_queued(self, text, speaker_audio, seed, sc,
                                 block_size, normalize_text, buffer_chunks):
@@ -651,7 +716,26 @@ class Engine:
                 sample_pipeline(self.tts, "Warmup.", audio, 0, sc=sc,
                                 normalize_text=True)
         n_combos = len(prompts)
-        if include_streaming and self.tts.dit_cfg.has_latent_modules:
+        if (include_streaming and self.tts.dit_cfg.has_latent_modules
+                and self.continuous):
+            # continuous mode: one warm stream per speaker bucket compiles
+            # the group executables (_join_row + _stream_step_rows at the
+            # group batch) and the per-cumulative-shape detector as it goes
+            from echo_tts_tpu.pipeline import flattening
+
+            for audio in prompts:
+                for _ in self.generate_stream(
+                        "Warmup.", audio, 0, sc=sc,
+                        block_size=self.continuous_block,
+                        normalize_text=True):
+                    pass
+                n_combos += 1
+            p = self.tts.dit_cfg.speaker_patch_size
+            bs = -(-int(self.continuous_block) // p) * p
+            for end in range(bs, sc.sequence_length + 1, bs):
+                flattening.find_flattening_point(
+                    np.zeros((end, self.tts.dit_cfg.latent_size), np.float32))
+        elif include_streaming and self.tts.dit_cfg.has_latent_modules:
             from echo_tts_tpu.pipeline import flattening
             from echo_tts_tpu.pipeline.pipeline import (
                 _block_schedule,

@@ -54,6 +54,14 @@ def main():
                     help=">1 enables continuous micro-batching: concurrent "
                          "compatible requests run as one batched device call")
     ap.add_argument("--batch-wait-ms", type=float, default=10.0)
+    ap.add_argument("--continuous", action="store_true",
+                    help="block-boundary continuous batching for /tts_stream "
+                         "(requires --max-batch > 1): new streams JOIN a "
+                         "running group at the next block boundary instead "
+                         "of waiting for it to finish (serve/continuous.py)")
+    ap.add_argument("--continuous-block", type=int, default=64,
+                    help="uniform latent block size for continuous stream "
+                         "groups")
     ap.add_argument("--tp", type=int, default=1,
                     help=">1 shards the DiT over a tensor-parallel mesh "
                          "(Megatron head/MLP split via GSPMD + shard_map'd "
@@ -121,7 +129,9 @@ def main():
     # mesh passed through: Engine re-shards the effective params after int8
     # quantization / LoRA merges, so {"q","s"} leaves get the declared specs
     engine = Engine(tts, int8=args.int8, max_batch=args.max_batch,
-                    batch_wait_ms=args.batch_wait_ms, mesh=mesh)
+                    batch_wait_ms=args.batch_wait_ms, mesh=mesh,
+                    continuous=args.continuous,
+                    continuous_block=args.continuous_block)
     if args.warmup:
         from echo_tts_tpu.core.config import SamplerConfig as _SC
 

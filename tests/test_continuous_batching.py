@@ -195,16 +195,16 @@ def test_stream_group_join_matches_solo(tiny_tts):  # noqa: F811
     gs = _join_row(tts.dit_params, cfg, tts.ae_params, tts.ae_cfg, gs, 0,
                    *reqs[0][:4], tts.model_dtype)
     audio = {0: [], 1: []}
-    gs, a = step(gs, [0, 0], [8, 0], [reqs[0][4][0, :8], z8])
+    gs, a, _bl = step(gs, [0, 0], [8, 0], [reqs[0][4][0, :8], z8])
     audio[0].append(np.asarray(a[0:1], np.float32))
     # B arrives mid-stream-A: joins slot 1 at the block boundary
     gs = _join_row(tts.dit_params, cfg, tts.ae_params, tts.ae_cfg, gs, 1,
                    *reqs[1][:4], tts.model_dtype)
-    gs, a = step(gs, [8, 0], [8, 8], [reqs[0][4][0, 8:], reqs[1][4][0, :8]])
+    gs, a, _bl = step(gs, [8, 0], [8, 8], [reqs[0][4][0, 8:], reqs[1][4][0, :8]])
     audio[0].append(np.asarray(a[0:1], np.float32))
     audio[1].append(np.asarray(a[1:2], np.float32))
     # A retired; B finishes
-    gs, a = step(gs, [16, 8], [0, 8], [z8, reqs[1][4][0, 8:]])
+    gs, a, _bl = step(gs, [16, 8], [0, 8], [z8, reqs[1][4][0, 8:]])
     audio[1].append(np.asarray(a[1:2], np.float32))
 
     for r in range(2):
@@ -260,11 +260,11 @@ def test_stream_group_partial_final_block(tiny_tts):  # noqa: F811
 
     z8 = np.zeros((8, cfg.latent_size), np.float32)
     got = []
-    gs, a = step(gs, [0, 0], [8, 0], [noise[0, :8], z8])
+    gs, a, _bl = step(gs, [0, 0], [8, 0], [noise[0, :8], z8])
     got.append(np.asarray(a[0:1, :, :8 * tts.ae_cfg.frame_length]))
     pad_noise = np.concatenate([noise[0, 8:], np.zeros((4, cfg.latent_size),
                                                        np.float32)])
-    gs, a = step(gs, [8, 0], [4, 0], [pad_noise, z8])
+    gs, a, _bl = step(gs, [8, 0], [4, 0], [pad_noise, z8])
     got.append(np.asarray(a[0:1, :, :4 * tts.ae_cfg.frame_length]))
 
     solo = [np.asarray(chunk, np.float32)
@@ -276,6 +276,79 @@ def test_stream_group_partial_final_block(tiny_tts):  # noqa: F811
     for i, (g, r) in enumerate(zip(got, solo)):
         np.testing.assert_allclose(g, r, atol=2e-5, rtol=1e-4,
                                    err_msg=f"chunk {i}")
+
+
+def test_engine_continuous_solo_matches_plain_stream(tiny_tts):  # noqa: F811
+    """A single stream through a continuous engine equals the plain solo
+    streaming pipeline with the same seed and uniform block schedule."""
+    import dataclasses
+
+    from echo_tts_tpu.pipeline.pipeline import sample_pipeline_stream
+    from echo_tts_tpu.serve.engine import Engine
+
+    _, _, tts = tiny_tts
+    eng = Engine(dataclasses.replace(tts), max_batch=2, continuous=True)
+    try:
+        got = np.concatenate(list(eng.generate_stream(
+            "Continuous solo.", None, seed=5, sc=SC, block_size=8)), axis=-1)
+    finally:
+        eng.close()
+    ref = np.concatenate(list(sample_pipeline_stream(
+        tts, "Continuous solo.", None, 5, sc=SC, block_size=8,
+        normalize_text=True)), axis=-1)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=0)
+
+
+def test_engine_continuous_staggered_join(tiny_tts):  # noqa: F811
+    """Stream B arrives while stream A's group is RUNNING and joins it at a
+    block boundary (one group serves both — engine.stats['batches'] == 1);
+    each stream's audio equals its solo run."""
+    import dataclasses
+    import threading
+    import time
+
+    from echo_tts_tpu.pipeline.pipeline import sample_pipeline_stream
+    from echo_tts_tpu.serve.engine import Engine
+
+    _, _, tts = tiny_tts
+    eng = Engine(dataclasses.replace(tts), max_batch=2, continuous=True)
+    texts = {40: "Stagger A stream.", 41: "Stagger B later."}
+    ref = {seed: np.concatenate(list(sample_pipeline_stream(
+        tts, text, None, seed, sc=SC, block_size=4,
+        normalize_text=True)), axis=-1) for seed, text in texts.items()}
+    got = {}
+    try:
+        def run(seed):
+            got[seed] = np.concatenate(list(eng.generate_stream(
+                texts[seed], None, seed=seed, sc=SC, block_size=4)), axis=-1)
+
+        ta = threading.Thread(target=run, args=(40,))
+        ta.start()
+        # wait until A's group is live, then send B mid-stream
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline:
+            scheds = list(eng._cont_scheds.values())
+            if scheds and scheds[0].n_active >= 1:
+                break
+            time.sleep(0.01)
+        else:
+            raise AssertionError("stream A's group never went live")
+        tb = threading.Thread(target=run, args=(41,))
+        tb.start()
+        ta.join(timeout=300)
+        tb.join(timeout=300)
+    finally:
+        eng.close()
+    assert set(got) == {40, 41}
+    for seed in texts:
+        assert got[seed].shape == ref[seed].shape, seed
+        np.testing.assert_allclose(got[seed], ref[seed], atol=2e-5, rtol=0,
+                                   err_msg=str(seed))
+    sched = list(eng._cont_scheds.values())[0]
+    assert sched.n_joined == 2, "B did not join A's running group"
+    assert eng.health()["requests"] == 2
+    assert eng.health()["batches"] == 1  # ONE group served both
 
 
 def test_vocoder_stream_per_row_pos(tiny_tts):  # noqa: F811
