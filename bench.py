@@ -65,7 +65,8 @@ def main():
     joint_uncond = "--joint-uncond" in sys.argv
     int8_enc = "--int8-encoders" in sys.argv  # + encoder/KV-proj GEMMs
     int8 = "--int8" in sys.argv or int8_enc  # opt-in W8A8 trunk (models/quant.py)
-    dit_cfg = DiTConfig(has_latent_modules=blockwise)
+    dit_cfg = DiTConfig(has_latent_modules=blockwise
+                        or "--continuous" in sys.argv)
     ae_cfg = AEConfig()
     sc = SamplerConfig(num_steps=STEPS, cfg_scale_text=3.0, cfg_scale_speaker=8.0,
                        cfg_min_t=0.5, cfg_max_t=1.0, truncation_factor=0.8,
@@ -239,6 +240,86 @@ def main():
             **extra,
         }))
         sys.exit(0 if ok else 1)
+
+    if "--continuous" in sys.argv:
+        # Continuous-batching group step at serving scale (serve/continuous
+        # .py): B rows at staggered positions, uniform 64-latent blocks.
+        # Reports per-block step time, per-chip throughput (B rows x 64
+        # latents per step), and the join cost (_join_row = KV builds +
+        # row-state reset, one dispatch).
+        from echo_tts_tpu.core.config import PipelineConfig
+        from echo_tts_tpu.pipeline.pipeline import (
+            EchoTTS,
+            _join_row,
+            _stream_step_rows,
+            init_stream_group,
+        )
+
+        bs = 64
+        if "--cont-block" in sys.argv:
+            bs = int(sys.argv[sys.argv.index("--cont-block") + 1])
+        total = SEQ + bs
+        tts = EchoTTS(dit_params, dit_cfg, ae_params, ae_cfg, pca,
+                      model_dtype=jnp.bfloat16,
+                      pipe_cfg=PipelineConfig())
+        gs = init_stream_group(tts, batch, total, TEXT, SPK)
+        t0 = time.time()
+        for r in range(batch):
+            gs = _join_row(dit_params, dit_cfg, ae_params, ae_cfg, gs,
+                           jnp.int32(r), ids[:1], text_mask[:1],
+                           speaker_latent[:1], speaker_mask[:1], jnp.bfloat16)
+        jax.block_until_ready(gs["kv_text"])
+        t_join_compile = time.time() - t0
+
+        starts0 = np.arange(batch, dtype=np.int32) * bs  # staggered rows
+        valids = jnp.full((batch,), bs, jnp.int32)
+
+        def step(gs, starts, noise_i):
+            return _stream_step_rows(
+                dit_params, dit_cfg, sc, ae_params, ae_cfg, pca, gs,
+                jnp.asarray(starts), valids, noise_i, bs, total,
+                jnp.bfloat16, max(1024, total))
+
+        n_warm, n_meas = 2, 6
+        starts = starts0.copy()
+        rngs = [draw_noise(100 + i, (batch, bs, dit_cfg.latent_size))
+                for i in range(n_warm + n_meas)]
+        for i in range(n_warm):
+            gs, audio, block_lat = step(gs, starts, rngs[i])
+            jax.device_get((audio, block_lat))
+            starts = (starts + bs) % SEQ
+        t0 = time.time()
+        for i in range(n_warm, n_warm + n_meas):
+            gs, audio, block_lat = step(gs, starts, rngs[i])
+            jax.device_get((audio, block_lat))  # per-block host fetch as served
+            starts = (starts + bs) % SEQ
+        step_s = (time.time() - t0) / n_meas
+
+        # join cost: one more admission into a warm group
+        t0 = time.time()
+        gs = _join_row(dit_params, dit_cfg, ae_params, ae_cfg, gs,
+                       jnp.int32(0), ids[:1], text_mask[:1],
+                       speaker_latent[:1], speaker_mask[:1], jnp.bfloat16)
+        jax.block_until_ready(gs["kv_text"])
+        join_s = time.time() - t0
+
+        audio_per_block = bs * ae_cfg.frame_length / ae_cfg.sample_rate
+        value = batch * audio_per_block / step_s
+        print(f"# continuous group B={batch}, block {bs}: step "
+              f"{step_s*1e3:.0f}ms ({value:.2f} audio-s/s/chip), join "
+              f"{join_s*1e3:.0f}ms (worst-case admission latency ~= "
+              f"{(join_s + 2*step_s)*1e3:.0f}ms to first audio; compile+first "
+              f"joins {t_join_compile:.1f}s)", file=sys.stderr)
+        print(json.dumps({
+            "metric": f"continuous-batching stream group, B={batch} rows x "
+                      f"{bs}-latent blocks, audio-s/s/chip",
+            "value": round(value, 3),
+            "unit": "audio_s_per_s_per_chip",
+            "vs_baseline": round(value, 3),
+            "step_ms": round(step_s * 1e3, 1),
+            "join_ms": round(join_s * 1e3, 1),
+        }))
+        return
 
     if blockwise:
         # interleaved streaming: ONE fused executable per block (sample +

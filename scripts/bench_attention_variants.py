@@ -129,6 +129,22 @@ def _kernel_var(*refs, scale, nseg, mask_mode, use_exp2, hg=1, probe="full",
             o_ref[0, 0, hj] = o.astype(o_ref.dtype)
             continue
 
+        if probe == "fold":
+            # epilogue fold: dot the RAW exps (range (0,1], bf16-safe) and
+            # normalize the (tq, d) OUTPUT once — removes the (tq, ~3k)
+            # exps*inv VPU multiplies per segment (the only remaining
+            # non-dot work besides max/exp/sum)
+            o = jax.lax.dot_general(exps[0].astype(vs.dtype), vs,
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            for i in range(nseg):
+                v = seg_refs[3 * i + 1][0, hj]
+                o = o + jax.lax.dot_general(exps[i + 1].astype(v.dtype), v,
+                                            (((1,), (0,)), ((), ())),
+                                            preferred_element_type=jnp.float32)
+            o_ref[0, 0, hj] = (o * inv).astype(o_ref.dtype)
+            continue
+
         o = jax.lax.dot_general((exps[0] * inv).astype(vs.dtype), vs,
                                 (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
@@ -270,6 +286,13 @@ def main():
     bench("2seg tq=640 bias exp2 (prod)", lambda q, k, v, s:
           attention_var(q, k, v, s, tq=640, mask_mode="bias",
                         use_exp2=True), segs2)
+    # round-4 softmax-epilogue attack: normalize the output, not the weights
+    bench("2seg tq=640 bias exp2 FOLD", lambda q, k, v, s:
+          attention_var(q, k, v, s, tq=640, mask_mode="bias",
+                        use_exp2=True, probe="fold"), segs2)
+    bench("2seg tq=320 bias exp2 FOLD", lambda q, k, v, s:
+          attention_var(q, k, v, s, tq=320, mask_mode="bias",
+                        use_exp2=True, probe="fold"), segs2)
     # single pre-concatenated ctx segment (concat happens once per utterance
     # at KV-build time, not per layer): one (640, 2368) dot + one exp block
     # instead of two of each
