@@ -303,6 +303,61 @@ def main():
         jax.block_until_ready(gs["kv_text"])
         join_s = time.time() - t0
 
+        extra = {}
+        if "--cont-elastic" in sys.argv and batch > 1:
+            # elastic group sizing: time the B->B/2 shrink and B/2->B grow
+            # gathers the scheduler issues at size transitions
+            # (pipeline._resize_group), plus the half-size step — the cost a
+            # lone surviving stream actually pays after the group shrinks
+            from echo_tts_tpu.pipeline.pipeline import _resize_group
+
+            half = batch // 2
+            sh_perm = np.arange(half, dtype=np.int32)
+            sh_keep = np.ones((half,), bool)
+            gr_perm = np.arange(batch, dtype=np.int32) % half
+            gr_keep = np.arange(batch) < half
+            gs_h = _resize_group(gs, sh_perm, sh_keep)       # compile
+            jax.block_until_ready(gs_h["prefix"])
+            t0 = time.time()
+            gs_h = _resize_group(gs, sh_perm, sh_keep)
+            jax.block_until_ready(gs_h["prefix"])
+            shrink_s = time.time() - t0
+            gs_g = _resize_group(gs_h, gr_perm, gr_keep)     # compile
+            jax.block_until_ready(gs_g["prefix"])
+            t0 = time.time()
+            gs_g = _resize_group(gs_h, gr_perm, gr_keep)
+            jax.block_until_ready(gs_g["prefix"])
+            grow_s = time.time() - t0
+
+            valids_h = jnp.full((half,), bs, jnp.int32)
+            starts_h = np.arange(half, dtype=np.int32) * bs
+
+            def step_h(gs, starts, noise_i):
+                return _stream_step_rows(
+                    dit_params, dit_cfg, sc, ae_params, ae_cfg, pca, gs,
+                    jnp.asarray(starts), valids_h, noise_i, bs, total,
+                    jnp.bfloat16, max(1024, total))
+
+            nh = draw_noise(500, (half, bs, dit_cfg.latent_size))
+            gs_h, audio, bl = step_h(gs_h, starts_h, nh)     # compile
+            jax.device_get((audio, bl))
+            t0 = time.time()
+            for i in range(3):
+                gs_h, audio, bl = step_h(
+                    gs_h, (starts_h + (i + 1) * bs) % SEQ,
+                    draw_noise(501 + i, (half, bs, dit_cfg.latent_size)))
+                jax.device_get((audio, bl))
+            half_step_s = (time.time() - t0) / 3
+            extra = {"shrink_ms": round(shrink_s * 1e3, 1),
+                     "grow_ms": round(grow_s * 1e3, 1),
+                     "half_step_ms": round(half_step_s * 1e3, 1),
+                     "half_audio_s_per_s": round(
+                         half * bs * ae_cfg.frame_length / ae_cfg.sample_rate
+                         / half_step_s, 3)}
+            print(f"# elastic: shrink {shrink_s*1e3:.0f}ms, grow "
+                  f"{grow_s*1e3:.0f}ms, B={half} step "
+                  f"{half_step_s*1e3:.0f}ms", file=sys.stderr)
+
         audio_per_block = bs * ae_cfg.frame_length / ae_cfg.sample_rate
         value = batch * audio_per_block / step_s
         print(f"# continuous group B={batch}, block {bs}: step "
@@ -318,6 +373,7 @@ def main():
             "vs_baseline": round(value, 3),
             "step_ms": round(step_s * 1e3, 1),
             "join_ms": round(join_s * 1e3, 1),
+            **extra,
         }))
         return
 

@@ -229,6 +229,46 @@ def _join_row(dit_params, dit_cfg, ae_params, ae_cfg, gs, row, ids, tmask,
     return gs
 
 
+@jax.jit
+def _resize_group(gs, perm, keep):
+    """Re-pack the continuous group's row axis (elastic group sizing): new
+    row i takes old row perm[i]; rows with keep[i]==False become inert free
+    slots (context masks cleared, vocoder position zeroed — the rest of a
+    freed slot's state is garbage the masks / valid_len=0 keep invisible
+    until _join_row overwrites it). Rows are fully independent everywhere in
+    the step (attention, latent KV, vocoder state are all per-row), so a
+    gather along the row axis preserves each surviving row's stream exactly
+    (tests/test_continuous_batching.py::test_resize_group_elastic_matches
+    _solo). Specializes per (old_b, new_b) pair; the scheduler changes size
+    at most one power-of-two level per block boundary, so only adjacent
+    pairs ever compile. The gather moves the whole per-row state (~0.6 GB
+    per row at full serving shapes) once per transition — ~1 ms on-chip,
+    one dispatch."""
+    perm = jnp.asarray(perm, jnp.int32)
+    keep = jnp.asarray(keep, jnp.bool_)
+    t0 = lambda a: jnp.take(a, perm, axis=0)   # noqa: E731
+    t1 = lambda a: jnp.take(a, perm, axis=1)   # noqa: E731
+    dec = gs["dec"]
+    return {
+        "kv_text": tuple(t1(a) for a in gs["kv_text"]),
+        "kv_speaker": tuple(t1(a) for a in gs["kv_speaker"]),
+        "text_mask": jnp.where(keep[:, None], t0(gs["text_mask"]), False),
+        "speaker_mask": jnp.where(keep[:, None], t0(gs["speaker_mask"]),
+                                  False),
+        "prefix": t0(gs["prefix"]),
+        "lat": {k: t1(v) for k, v in gs["lat"].items()},
+        "dec": {
+            "pos": jnp.where(keep, t0(dec["pos"]), 0),
+            "kv": [{k: t0(v) for k, v in l.items()} for l in dec["kv"]],
+            "up": [t0(v) for v in dec["up"]],
+            "stem": t0(dec["stem"]),
+            "blocks": [{k: t0(v) for k, v in b.items()}
+                       for b in dec["blocks"]],
+            "head": t0(dec["head"]),
+        },
+    }
+
+
 def init_stream_group(tts: EchoTTS, batch: int, total_len: int,
                       text_len: int, spk_len: int):
     """Fresh device-resident group state for the continuous scheduler: all

@@ -19,11 +19,15 @@ No reference analogue: the reference serves one utterance per Gradio click
 (gradio_app.py:229-430). This is the "real continuous batching" design the
 round-3 review called the last structural serving gap (VERDICT r3 item 4).
 
-Capacity/latency model: the group always samples all B slots, so per-block
-device time is the B-row cost even with one active stream — continuous mode
-trades solo latency (the fused-prologue TTFA path) for multi-client
-throughput and bounded join latency. Pick it for servers with concurrent
-streaming clients; leave it off for single-user serving.
+Capacity/latency model: the group's row count is ELASTIC — it grows one
+power-of-two level per block boundary while pending streams outnumber free
+slots (up to the engine's group size) and shrinks one level when the active
+set fits half the group (pipeline._resize_group gathers the per-row state
+into the new shape; rows are independent, so each surviving stream is
+preserved exactly). A single active stream therefore pays the 1-row step
+cost, not the B-row cost: continuous mode's only remaining trade against
+the dispatch-batched path is the solo fused-prologue TTFA. Executables
+compile per (group size, shapes) — warmup covers the power-of-two ladder.
 """
 from __future__ import annotations
 
@@ -53,8 +57,11 @@ class _Row:
 
 
 class ContinuousStreamScheduler:
-    """Owns one live device group for a compatibility key; runs on its own
-    thread, holding the engine's device lock while any rows are active.
+    """Owns one live ELASTIC device group for a compatibility key; runs on
+    its own thread, holding the engine's device lock while any rows are
+    active. The row count grows/shrinks one power-of-two level per block
+    boundary with demand (see module docstring), so a lone stream pays the
+    1-row step cost.
 
     Requests enter through submit() (thread-safe); the loop admits them into
     free slots at block boundaries. When the group drains and no requests
@@ -78,6 +85,8 @@ class ContinuousStreamScheduler:
         self._closed = False
         self.n_active = 0  # occupied slots (observability/tests)
         self.n_joined = 0  # total admissions over the group's life
+        self.cur_b = 1     # current (elastic) group row count
+        self.max_b = 1     # high-water mark over the group's life
         self._mu = threading.Lock()
         self.thread = threading.Thread(target=self._run, daemon=True,
                                        name="echo-tts-continuous")
@@ -118,6 +127,7 @@ class ContinuousStreamScheduler:
         from echo_tts_tpu.pipeline.pipeline import (
             _StreamEmitter,
             _join_row,
+            _resize_group,
             _stream_step_rows,
             init_stream_group,
         )
@@ -125,7 +135,7 @@ class ContinuousStreamScheduler:
         eng = self.engine
         tts = eng.tts
         cfg = tts.dit_cfg
-        B = eng._continuous_group_size()
+        b_max = eng._continuous_group_size()
         seq = self.sc.sequence_length
         total = seq + self.bs  # headroom for final partial blocks
         spl = tts.ae_cfg.frame_length
@@ -137,12 +147,27 @@ class ContinuousStreamScheduler:
         n_steps = 0
 
         with eng._lock:
+            B = 1  # elastic: start at one row, grow/shrink per boundary
             gs = init_stream_group(tts, B, total, text_len, spk_len)
             rows: List[Optional[_Row]] = [None] * B
             t0 = time.perf_counter()
             eng.stats["batches"] += 1  # one live group = one batch
             try:
                 while True:
+                    # grow one power-of-two level when pending streams
+                    # outnumber the free slots (admission next boundary)
+                    free = sum(r is None for r in rows)
+                    if B < b_max and self.pending.qsize() > free:
+                        new_b = min(b_max, B * 2)
+                        perm = list(range(B)) + [0] * (new_b - B)
+                        keep = [r is not None for r in rows]
+                        keep += [False] * (new_b - B)
+                        gs = _resize_group(gs, np.asarray(perm, np.int32),
+                                           np.asarray(keep))
+                        rows = rows + [None] * (new_b - B)
+                        B = new_b
+                        self.cur_b = B
+                        self.max_b = max(self.max_b, B)
                     # admit into free slots at this block boundary
                     for slot in range(B):
                         if rows[slot] is not None:
@@ -180,6 +205,21 @@ class ContinuousStreamScheduler:
                                     self._closed = True
                                     return
                             continue
+
+                    # shrink one level when the active set fits half the
+                    # group (compact active rows to the front; admission
+                    # above had priority, so pending is empty here)
+                    act = [i for i, r in enumerate(rows) if r is not None]
+                    if B > 1 and len(act) <= B // 2 and self.pending.empty():
+                        new_b = B // 2
+                        perm = (act + [0] * new_b)[:new_b]
+                        keep = ([True] * len(act) + [False] * new_b)[:new_b]
+                        gs = _resize_group(gs, np.asarray(perm, np.int32),
+                                           np.asarray(keep))
+                        rows = ([rows[i] for i in act]
+                                + [None] * (new_b - len(act)))
+                        B = new_b
+                        self.cur_b = B
 
                     # assemble the step: per-row starts / valid extents /
                     # noise rows (zeros on free slots and past each budget)

@@ -718,20 +718,71 @@ class Engine:
         n_combos = len(prompts)
         if (include_streaming and self.tts.dit_cfg.has_latent_modules
                 and self.continuous):
-            # continuous mode: one warm stream per speaker bucket compiles
-            # the group executables (_join_row + _stream_step_rows at the
-            # group batch) and the per-cumulative-shape detector as it goes
-            from echo_tts_tpu.pipeline import flattening
+            # continuous mode: the group executables compile per (elastic
+            # group size, speaker bucket) — walk the power-of-two size
+            # ladder per bucket with DIRECT low-level calls (one join + one
+            # block step per size, plus the adjacent grow/shrink resizes the
+            # scheduler makes), which costs one block step per size instead
+            # of a full warm stream per size. One full solo stream (below)
+            # then warms the host path (_prepare, emitter, scheduler).
+            import jax
+            import jax.numpy as jnp
 
-            for audio in prompts:
-                for _ in self.generate_stream(
-                        "Warmup.", audio, 0, sc=sc,
-                        block_size=self.continuous_block,
-                        normalize_text=True):
-                    pass
-                n_combos += 1
-            p = self.tts.dit_cfg.speaker_patch_size
+            from echo_tts_tpu.pipeline import flattening
+            from echo_tts_tpu.pipeline.pipeline import (
+                _join_row,
+                _resize_group,
+                _stream_step_rows,
+                init_stream_group,
+            )
+
+            tts = self.tts
+            cfg = tts.dit_cfg
+            p = cfg.speaker_patch_size
             bs = -(-int(self.continuous_block) // p) * p
+            total = sc.sequence_length + bs
+            text_len = pc.text_buckets[-1]
+            max_positions = max(1024, total)
+            b_max = self._continuous_group_size()
+            spk_lens = [4]
+            if include_speaker_buckets:
+                spk_lens += [min(b, pc.max_speaker_latent_length)
+                             for b in pc.speaker_buckets]
+            with self._lock:
+                for spk_len in spk_lens:
+                    ids = jnp.zeros((1, text_len), jnp.int32)
+                    tmask = jnp.ones((1, text_len), bool)
+                    spk = jnp.zeros((1, spk_len, cfg.latent_size), jnp.float32)
+                    smask = jnp.ones((1, spk_len), bool)
+                    b = 1
+                    gs = init_stream_group(tts, b, total, text_len, spk_len)
+                    while True:
+                        gs = _join_row(tts.dit_params, cfg, tts.ae_params,
+                                       tts.ae_cfg, gs, jnp.int32(0), ids,
+                                       tmask, spk, smask, tts.model_dtype)
+                        gs, audio, _bl = _stream_step_rows(
+                            tts.dit_params, cfg, sc, tts.ae_params,
+                            tts.ae_cfg, tts.pca, gs,
+                            jnp.zeros((b,), jnp.int32),
+                            jnp.full((b,), bs, jnp.int32),
+                            jnp.zeros((b, bs, cfg.latent_size), jnp.float32),
+                            bs, total, tts.model_dtype, max_positions)
+                        jax.block_until_ready(audio)
+                        n_combos += 1
+                        if b >= b_max:
+                            break
+                        gs = _resize_group(  # grow b -> 2b
+                            gs, np.arange(2 * b, dtype=np.int32) % b,
+                            np.arange(2 * b) < b)
+                        b *= 2
+                    while b > 1:  # shrink ladder back down
+                        b //= 2
+                        gs = _resize_group(gs, np.arange(b, dtype=np.int32),
+                                           np.ones((b,), bool))
+            for _ in self.generate_stream(
+                    "Warmup.", None, 0, sc=sc,
+                    block_size=self.continuous_block, normalize_text=True):
+                pass
             for end in range(bs, sc.sequence_length + 1, bs):
                 flattening.find_flattening_point(
                     np.zeros((end, self.tts.dit_cfg.latent_size), np.float32))

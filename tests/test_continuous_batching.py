@@ -278,6 +278,80 @@ def test_stream_group_partial_final_block(tiny_tts):  # noqa: F811
                                    err_msg=f"chunk {i}")
 
 
+def test_resize_group_elastic_matches_solo(tiny_tts):  # noqa: F811
+    """Elastic group sizing (pipeline._resize_group): grow 1->2 to admit a
+    second stream, then shrink 2->1 with a PERMUTED compaction (survivor
+    moves from slot 1 to slot 0) after the first retires. Every chunk of
+    both streams must equal the solo run — the row gather preserves each
+    stream's ctx KV / latent KV / prefix / vocoder state exactly."""
+    from echo_tts_tpu.pipeline.pipeline import (
+        _join_row,
+        _resize_group,
+        _stream_step_rows,
+        init_stream_group,
+        stream_blocks_fused,
+    )
+    from echo_tts_tpu.sampling.euler_cfg import draw_noise
+
+    _, _, tts = tiny_tts
+    cfg = tts.dit_cfg
+    seq, bs = 16, 8
+    total = seq + bs
+    rng = np.random.default_rng(17)
+    reqs = []
+    for r in range(2):
+        ids = jnp.asarray(rng.integers(0, 256, (1, 12)))
+        tmask = jnp.ones((1, 12), bool)
+        spk = jnp.asarray(rng.standard_normal((1, 16, cfg.latent_size)),
+                          jnp.float32)
+        smask = jnp.ones((1, 16), bool)
+        noise = np.asarray(draw_noise(60 + r, (1, seq, cfg.latent_size)))
+        reqs.append((ids, tmask, spk, smask, noise))
+
+    def step(gs, starts, valids, noise_rows):
+        b = len(starts)
+        return _stream_step_rows(
+            tts.dit_params, cfg, SC, tts.ae_params, tts.ae_cfg, tts.pca, gs,
+            jnp.asarray(starts, jnp.int32), jnp.asarray(valids, jnp.int32),
+            jnp.asarray(np.stack(noise_rows), jnp.float32), bs, total,
+            tts.model_dtype, 64)
+
+    z8 = np.zeros((seq // 2, cfg.latent_size), np.float32)
+    audio = {0: [], 1: []}
+    # b=1: A alone
+    gs = init_stream_group(tts, 1, total, 12, 16)
+    gs = _join_row(tts.dit_params, cfg, tts.ae_params, tts.ae_cfg, gs, 0,
+                   *reqs[0][:4], tts.model_dtype)
+    gs, a, _bl = step(gs, [0], [8], [reqs[0][4][0, :8]])
+    audio[0].append(np.asarray(a[0:1], np.float32))
+    # B arrives: grow 1 -> 2, admit into slot 1
+    gs = _resize_group(gs, np.array([0, 0], np.int32),
+                       np.array([True, False]))
+    gs = _join_row(tts.dit_params, cfg, tts.ae_params, tts.ae_cfg, gs, 1,
+                   *reqs[1][:4], tts.model_dtype)
+    gs, a, _bl = step(gs, [8, 0], [8, 8],
+                      [reqs[0][4][0, 8:], reqs[1][4][0, :8]])
+    audio[0].append(np.asarray(a[0:1], np.float32))
+    audio[1].append(np.asarray(a[1:2], np.float32))
+    # A retired: shrink 2 -> 1, surviving B moves slot 1 -> 0
+    gs = _resize_group(gs, np.array([1], np.int32), np.array([True]))
+    gs, a, _bl = step(gs, [8], [8], [reqs[1][4][0, 8:]])
+    audio[1].append(np.asarray(a[0:1], np.float32))
+
+    for r in range(2):
+        ids, tmask, spk, smask, noise = reqs[r]
+        solo = [np.asarray(chunk, np.float32)
+                for _, chunk, _, _ in stream_blocks_fused(
+                    tts.dit_params, cfg, SC, tts.ae_params, tts.ae_cfg,
+                    tts.pca, spk, smask, ids, tmask, (8, 8),
+                    [jnp.asarray(noise[:, :8]), jnp.asarray(noise[:, 8:])],
+                    tts.model_dtype)]
+        assert len(solo) == len(audio[r]) == 2
+        for i, (got, ref) in enumerate(zip(audio[r], solo)):
+            np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4,
+                                       err_msg=f"row {r} chunk {i}")
+
+
 def test_engine_continuous_solo_matches_plain_stream(tiny_tts):  # noqa: F811
     """A single stream through a continuous engine equals the plain solo
     streaming pipeline with the same seed and uniform block schedule."""
@@ -347,8 +421,37 @@ def test_engine_continuous_staggered_join(tiny_tts):  # noqa: F811
                                    err_msg=str(seed))
     sched = list(eng._cont_scheds.values())[0]
     assert sched.n_joined == 2, "B did not join A's running group"
+    assert sched.max_b == 2, "the elastic group never grew to 2 rows"
+    assert sched.cur_b == 1, "the group did not shrink back after retirement"
     assert eng.health()["requests"] == 2
     assert eng.health()["batches"] == 1  # ONE group served both
+
+
+def test_engine_warmup_continuous_covers_size_ladder(tiny_tts, monkeypatch):  # noqa: F811
+    """A continuous engine's warmup(include_streaming=True) pre-compiles the
+    group executables at EVERY elastic group size (1, 2, ..., max) — a lone
+    stream and a full group both find their step executable warm."""
+    import dataclasses
+
+    from echo_tts_tpu.pipeline import pipeline as pl
+    from echo_tts_tpu.serve.engine import Engine
+
+    _, _, tts = tiny_tts
+    eng = Engine(dataclasses.replace(tts), max_batch=4, continuous=True,
+                 continuous_block=8)
+    seen = []
+    real_step = pl._stream_step_rows
+
+    def spy(*a, **k):
+        seen.append(int(a[6]["prefix"].shape[0]))  # group row count
+        return real_step(*a, **k)
+
+    monkeypatch.setattr(pl, "_stream_step_rows", spy)
+    try:
+        eng.warmup(SC, include_speaker_buckets=False, include_streaming=True)
+    finally:
+        eng.close()
+    assert {1, 2, 4} <= set(seen), seen
 
 
 def test_vocoder_stream_per_row_pos(tiny_tts):  # noqa: F811
