@@ -885,4 +885,13 @@ class Engine:
         if self._speaker_cache is not None:
             out["speaker_cache_hits"] = self._speaker_cache.hits
             out["speaker_cache_misses"] = self._speaker_cache.misses
+        if self.continuous:
+            # live elastic stream groups: row capacity in use / streams
+            # active / lifetime admissions, per compatibility key
+            with self._cont_mu:
+                scheds = list(self._cont_scheds.values())
+            out["continuous_groups"] = [
+                {"rows": s.cur_b, "active": s.n_active, "joined": s.n_joined,
+                 "max_rows": s.max_b}
+                for s in scheds if s.thread.is_alive()]
         return out

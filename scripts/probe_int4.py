@@ -29,13 +29,14 @@ L, K, N, B = 24, 2048, 2048, 64
 ITERS = 50
 
 
-def timed(fn, *args):
-    out = fn(*args)
-    jax.block_until_ready(out)
+def timed(fn, h0, w):
+    """Relay-safe timing: the chain returns a SCALAR; fetch it inside the
+    timed region (block_until_ready does not force execution through the
+    relay) and salt h0 per call (the relay caches identical executions)."""
+    float(np.asarray(fn(h0, w)))  # compile + first run
     t0 = time.perf_counter()
-    out = fn(*args)
-    jax.block_until_ready(out)
-    return float(np.asarray(out).sum()), time.perf_counter() - t0
+    out = float(np.asarray(fn(h0 + 1e-6, w)))
+    return out, time.perf_counter() - t0
 
 
 def chain(w_stack, conv):

@@ -45,6 +45,15 @@ def main():
     # blocks because each block conditions on the previous quantized outputs
     # through the latent-prefix KV
     blockwise = "--blockwise" in sys.argv
+    # --uncond-cache k: ALSO enable uncond-branch caching on the test run
+    # (reference stays exact), measuring the TOTAL deviation of the shipped
+    # combo mode (int8 + cached unconds) rather than int8 alone
+    uncond_k = 1
+    if "--uncond-cache" in sys.argv:
+        uncond_k = int(sys.argv[sys.argv.index("--uncond-cache") + 1])
+    # --bf16: keep the test run's weights bf16 (no int8) — isolates the
+    # uncond-cache approximation's own deviation for attribution
+    bf16_test = "--bf16" in sys.argv
     cfg = DiTConfig(has_latent_modules=blockwise)
     ae_cfg = AEConfig()
     sc = SamplerConfig(num_steps=40, cfg_scale_text=3.0, cfg_scale_speaker=8.0,
@@ -76,26 +85,29 @@ def main():
             noises.append(noise[:, off:off + bs])
             off += bs
 
-        def run(p):
+        def run(p, sc_run):
             chunks, lat = [], None
             for prefix, chunk, _s, _b in stream_blocks_fused(
-                    p, cfg, sc, ae_params, ae_cfg, pca, spk, smask, ids,
+                    p, cfg, sc_run, ae_params, ae_cfg, pca, spk, smask, ids,
                     tmask, blocks, noises, jnp.bfloat16):
                 chunks.append(np.asarray(chunk, np.float32))
                 lat = prefix
             return np.asarray(lat), np.concatenate(chunks, axis=-1)
     else:
-        def run(p):
+        def run(p, sc_run):
             lat = sample_euler_cfg_independent_guidances(
-                p, cfg, sc, spk, smask, ids, tmask, noise,
+                p, cfg, sc_run, spk, smask, ids, tmask, noise,
                 model_dtype=jnp.bfloat16)
             z_q = pca_mod.deproject(pca, lat)
             audio = decode_zq(ae_params, ae_cfg, z_q.astype(jnp.bfloat16))
             return np.asarray(lat), np.asarray(audio, dtype=np.float32)
 
     t0 = time.time()
-    lat_ref, audio_ref = run(params)
-    lat_q, audio_q = run(qparams)
+    import dataclasses
+    sc_test = (dataclasses.replace(sc, uncond_cache_interval=uncond_k)
+               if uncond_k > 1 else sc)
+    lat_ref, audio_ref = run(params, sc)
+    lat_q, audio_q = run(params if bf16_test else qparams, sc_test)
     print(f"# two full samples + decode in {time.time()-t0:.1f}s", file=sys.stderr)
 
     def rel(a, b):
@@ -105,8 +117,10 @@ def main():
     snr_db = float(-20.0 * np.log10(lat_rel + 1e-12))
     audio_rel = rel(audio_q, audio_ref)
     print(json.dumps({
-        "metric": ("int8 W8A8 trunk" + ("+encoders" if encoders else "")
-                   + " vs bf16, "
+        "metric": (("bf16" if bf16_test else "int8 W8A8 trunk")
+                   + ("+encoders" if encoders else "")
+                   + (f"+uncond-cache k={uncond_k}" if uncond_k > 1 else "")
+                   + " vs bf16 exact, "
                    + ("blockwise 64+192x3 streaming" if blockwise
                       else "exact 40-step sampler") + ", same noise"),
         "latent_rel_l2": round(lat_rel, 4),

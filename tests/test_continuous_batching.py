@@ -365,6 +365,10 @@ def test_engine_continuous_solo_matches_plain_stream(tiny_tts):  # noqa: F811
     try:
         got = np.concatenate(list(eng.generate_stream(
             "Continuous solo.", None, seed=5, sc=SC, block_size=8)), axis=-1)
+        h = eng.health()
+        assert "continuous_groups" in h  # live-group observability surface
+        for g in h["continuous_groups"]:
+            assert set(g) == {"rows", "active", "joined", "max_rows"}
     finally:
         eng.close()
     ref = np.concatenate(list(sample_pipeline_stream(
