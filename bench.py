@@ -316,18 +316,21 @@ def main():
             sh_keep = np.ones((half,), bool)
             gr_perm = np.arange(batch, dtype=np.int32) % half
             gr_keep = np.arange(batch) < half
-            gs_h = _resize_group(gs, sh_perm, sh_keep)       # compile
-            jax.block_until_ready(gs_h["prefix"])
-            t0 = time.time()
+            # compile both directions, then time an alternating
+            # shrink/grow CHAIN (each call's input is the previous call's
+            # output, so the relay cannot serve a cached execution) and
+            # force it with a scalar fetch — block_until_ready alone does
+            # not force execution through the relay (CLAUDE.md)
             gs_h = _resize_group(gs, sh_perm, sh_keep)
-            jax.block_until_ready(gs_h["prefix"])
-            shrink_s = time.time() - t0
-            gs_g = _resize_group(gs_h, gr_perm, gr_keep)     # compile
-            jax.block_until_ready(gs_g["prefix"])
-            t0 = time.time()
             gs_g = _resize_group(gs_h, gr_perm, gr_keep)
-            jax.block_until_ready(gs_g["prefix"])
-            grow_s = time.time() - t0
+            float(np.asarray(gs_g["prefix"].sum()))
+            n_pairs = 4
+            t0 = time.time()
+            for _ in range(n_pairs):
+                gs_h = _resize_group(gs_g, sh_perm, sh_keep)
+                gs_g = _resize_group(gs_h, gr_perm, gr_keep)
+            float(np.asarray(gs_g["prefix"].sum()))
+            resize_s = (time.time() - t0) / (2 * n_pairs)
 
             valids_h = jnp.full((half,), bs, jnp.int32)
             starts_h = np.arange(half, dtype=np.int32) * bs
@@ -348,14 +351,13 @@ def main():
                     draw_noise(501 + i, (half, bs, dit_cfg.latent_size)))
                 jax.device_get((audio, bl))
             half_step_s = (time.time() - t0) / 3
-            extra = {"shrink_ms": round(shrink_s * 1e3, 1),
-                     "grow_ms": round(grow_s * 1e3, 1),
+            extra = {"resize_ms": round(resize_s * 1e3, 1),
                      "half_step_ms": round(half_step_s * 1e3, 1),
                      "half_audio_s_per_s": round(
                          half * bs * ae_cfg.frame_length / ae_cfg.sample_rate
                          / half_step_s, 3)}
-            print(f"# elastic: shrink {shrink_s*1e3:.0f}ms, grow "
-                  f"{grow_s*1e3:.0f}ms, B={half} step "
+            print(f"# elastic: resize {resize_s*1e3:.0f}ms/call (chained "
+                  f"mean of {2*n_pairs}), B={half} step "
                   f"{half_step_s*1e3:.0f}ms", file=sys.stderr)
 
         audio_per_block = bs * ae_cfg.frame_length / ae_cfg.sample_rate

@@ -154,10 +154,23 @@ class ContinuousStreamScheduler:
             eng.stats["batches"] += 1  # one live group = one batch
             try:
                 while True:
-                    # grow one power-of-two level when pending streams
+                    # snapshot waiting requests, discarding clients that
+                    # left before admission — a gone request must neither
+                    # trigger a grow nor occupy a slot
+                    waiting = []
+                    while True:
+                        try:
+                            req = self.pending.get_nowait()
+                        except _queue.Empty:
+                            break
+                        if req.gone.is_set():
+                            req.push(req.END)
+                            continue
+                        waiting.append(req)
+                    # grow one power-of-two level when waiting streams
                     # outnumber the free slots (admission next boundary)
                     free = sum(r is None for r in rows)
-                    if B < b_max and self.pending.qsize() > free:
+                    if B < b_max and len(waiting) > free:
                         new_b = min(b_max, B * 2)
                         perm = list(range(B)) + [0] * (new_b - B)
                         keep = [r is not None for r in rows]
@@ -170,15 +183,9 @@ class ContinuousStreamScheduler:
                         self.max_b = max(self.max_b, B)
                     # admit into free slots at this block boundary
                     for slot in range(B):
-                        if rows[slot] is not None:
+                        if rows[slot] is not None or not waiting:
                             continue
-                        try:
-                            req = self.pending.get_nowait()
-                        except _queue.Empty:
-                            break
-                        if req.gone.is_set():  # left before admission
-                            req.push(req.END)
-                            continue
+                        req = waiting.pop(0)
                         try:
                             ids, tmask, spk, smask, noise = self._prepare(req)
                         except Exception as e:
@@ -191,6 +198,8 @@ class ContinuousStreamScheduler:
                         rows[slot] = _Row(req, _StreamEmitter(seq, spl),
                                           noise, seq)
                         self.n_joined += 1
+                    for req in waiting:  # overflow waits for the next boundary
+                        self.pending.put(req)
                     self.n_active = sum(r is not None for r in rows)
                     if all(r is None for r in rows):
                         # drain-or-exit: give stragglers one linger window,

@@ -757,8 +757,12 @@ class Engine:
                     b = 1
                     gs = init_stream_group(tts, b, total, text_len, spk_len)
                     while True:
+                        # row passed as a PYTHON int, matching the scheduler's
+                        # call (continuous.py passes the slot index directly):
+                        # a jnp.int32 here would compile a weak_type-distinct
+                        # cache entry the runtime never hits
                         gs = _join_row(tts.dit_params, cfg, tts.ae_params,
-                                       tts.ae_cfg, gs, jnp.int32(0), ids,
+                                       tts.ae_cfg, gs, 0, ids,
                                        tmask, spk, smask, tts.model_dtype)
                         gs, audio, _bl = _stream_step_rows(
                             tts.dit_params, cfg, sc, tts.ae_params,

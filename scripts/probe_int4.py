@@ -2,8 +2,8 @@
 actually halve the weight-read time of a weight-pass-bound GEMM chain?
 
 The streaming (blockwise) path is weight-pass-bound (BASELINE.md 2026-08-21:
-~76%% of streaming wall is per-block Euler re-reading the trunk weights), and
-int8 weights bought +29%% there. int4 weights would halve trunk weight bytes
+~76% of streaming wall is per-block Euler re-reading the trunk weights), and
+int8 weights bought +29% there. int4 weights would halve trunk weight bytes
 again — IF (a) XLA:TPU lowers s4 storage without materializing a widened
 copy in HBM each pass, and (b) accuracy survives with per-group scales.
 
@@ -39,7 +39,7 @@ def timed(fn, h0, w):
     return out, time.perf_counter() - t0
 
 
-def chain(w_stack, conv):
+def chain(conv):
     """ITERS passes over all L weights, data-dependent, one jit."""
 
     @jax.jit
@@ -59,7 +59,7 @@ def chain(w_stack, conv):
     return run
 
 
-def chain_bf16(w_stack):
+def chain_bf16():
     @jax.jit
     def run(h0, ws):
         def outer(h, _):
@@ -95,17 +95,17 @@ def main():
         w4 = None
 
     gb_bf16 = L * K * N * 2 * ITERS / 1e9
-    fl = chain_bf16(None)
+    fl = chain_bf16()
     _, t = timed(fl, h0, jnp.asarray(w8, jnp.bfloat16))
     print(f"bf16 chain:        {t*1e3:8.1f} ms  ({gb_bf16/t:6.1f} GB/s weight stream)")
 
-    f8 = chain(None, lambda w: w)
+    f8 = chain(lambda w: w)
     _, t8 = timed(f8, h0, jnp.asarray(w8))
     print(f"int8 chain:        {t8*1e3:8.1f} ms  ({gb_bf16/2/t8:6.1f} GB/s)")
 
     if w4 is not None:
         try:
-            f4 = chain(None, lambda w: w.astype(jnp.int8))
+            f4 = chain(lambda w: w.astype(jnp.int8))
             _, t4 = timed(f4, h0, w4)
             print(f"int4(s4) chain:    {t4*1e3:8.1f} ms  ({gb_bf16/4/t4:6.1f} GB/s)  "
                   f"vs int8 {'WIN' if t4 < 0.8*t8 else 'no win' if t4 < 1.2*t8 else 'SLOWER'}")
@@ -119,13 +119,13 @@ def main():
     try:
         w4d = jax.jit(lambda w: w.astype(jnp.int4))(jnp.asarray(w8))
         jax.block_until_ready(w4d)
-        f4d = chain(None, lambda w: w.astype(jnp.int8))
+        f4d = chain(lambda w: w.astype(jnp.int8))
         _, t4d = timed(f4d, h0, w4d)
         print(f"int4(s4 on-dev):   {t4d*1e3:8.1f} ms  ({gb_bf16/4/t4d:6.1f} GB/s)  "
               f"vs int8 {'WIN' if t4d < 0.8*t8 else 'no win' if t4d < 1.2*t8 else 'SLOWER'}")
         # native s4 x s8 dot (no explicit widen) — does XLA accept it?
         try:
-            fnat = chain(None, lambda w: w)
+            fnat = chain(lambda w: w)
             _, tn = timed(fnat, h0, w4d)
             print(f"int4 native dot:   {tn*1e3:8.1f} ms  ({gb_bf16/4/tn:6.1f} GB/s)  "
                   f"vs int8 {'WIN' if tn < 0.8*t8 else 'no win' if tn < 1.2*t8 else 'SLOWER'}")
@@ -144,7 +144,7 @@ def main():
         return jnp.stack([lo, hi], axis=1).reshape(K, N)
 
     try:
-        fp = chain(None, unpack)
+        fp = chain(unpack)
         _, tp = timed(fp, h0, jnp.asarray(wp))
         print(f"packed-nibble:     {tp*1e3:8.1f} ms  ({gb_bf16/4/tp:6.1f} GB/s)  "
               f"vs int8 {'WIN' if tp < 0.8*t8 else 'no win' if tp < 1.2*t8 else 'SLOWER'}")

@@ -54,6 +54,9 @@ def main():
     # --bf16: keep the test run's weights bf16 (no int8) — isolates the
     # uncond-cache approximation's own deviation for attribution
     bf16_test = "--bf16" in sys.argv
+    if bf16_test and uncond_k <= 1:
+        sys.exit("--bf16 without --uncond-cache k compares a run against "
+                 "itself (SNR ~ inf); pass --uncond-cache 2 (or drop --bf16)")
     cfg = DiTConfig(has_latent_modules=blockwise)
     ae_cfg = AEConfig()
     sc = SamplerConfig(num_steps=40, cfg_scale_text=3.0, cfg_scale_speaker=8.0,
