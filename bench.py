@@ -63,6 +63,9 @@ def main():
     if "--uncond-cache" in sys.argv:
         uncond_cache = int(sys.argv[sys.argv.index("--uncond-cache") + 1])
     joint_uncond = "--joint-uncond" in sys.argv
+    first_steps = None  # opt-in TTFA knob: Euler steps for the FIRST block
+    if "--first-steps" in sys.argv:
+        first_steps = int(sys.argv[sys.argv.index("--first-steps") + 1])
     int8_enc = "--int8-encoders" in sys.argv  # + encoder/KV-proj GEMMs
     int8 = "--int8" in sys.argv or int8_enc  # opt-in W8A8 trunk (models/quant.py)
     dit_cfg = DiTConfig(has_latent_modules=blockwise
@@ -77,7 +80,8 @@ def main():
                        speaker_kv_min_t=0.5 if force_speaker else None,
                        speaker_kv_max_layers=24 if force_speaker else None,
                        uncond_cache_interval=uncond_cache,
-                       joint_uncond=joint_uncond)
+                       joint_uncond=joint_uncond,
+                       first_block_steps=first_steps)
 
     key = jax.random.PRNGKey(0)
     t0 = time.time()
@@ -483,6 +487,8 @@ def main():
         mode += f", uncond-cache k={uncond_cache}"
     if joint_uncond:
         mode += ", joint-uncond"
+    if first_steps:
+        mode += f", first-block {first_steps} steps"
     if int8:
         mode += ", int8 W8A8 trunk" + ("+encoders" if int8_enc else "")
     if blockwise:

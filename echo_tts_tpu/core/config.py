@@ -106,6 +106,14 @@ class SamplerConfig:
     # branches. 1 = exact reference semantics (default); 2 cuts the default
     # schedule's NFE from 20x3+20x1 to 10x3+30x1 (~20% wall).
     uncond_cache_interval: int = 1
+    # Opt-in TTFA knob for STREAMING: run only this many Euler steps on the
+    # first emitted block; later blocks keep num_steps. Time-to-first-audio
+    # is ~the first block's Euler, so it drops roughly proportionally.
+    # Non-exact, and not confined to the first chunk: the first block's
+    # latents condition every later block through the latent-prefix KV.
+    # None (default) = exact reference semantics. The continuous scheduler
+    # ignores it (uniform group blocks have no per-row first-block step).
+    first_block_steps: Optional[int] = None
 
     @staticmethod
     def from_preset(d: dict, **overrides) -> "SamplerConfig":
@@ -115,13 +123,17 @@ class SamplerConfig:
         def to_num(v, is_int=False):
             if v is None or v == "" or (isinstance(v, str) and v.strip().lower() == "none"):
                 return None
+            if isinstance(v, bool):  # joint_uncond over HTTP/JSON
+                return v
             f = float(v)
             return int(f) if is_int else f
 
         kw = {}
         for f in dataclasses.fields(SamplerConfig):
             if f.name in d:
-                is_int = f.name in ("num_steps", "speaker_kv_max_layers", "sequence_length")
+                is_int = f.name in ("num_steps", "speaker_kv_max_layers",
+                                    "sequence_length", "uncond_cache_interval",
+                                    "first_block_steps")
                 kw[f.name] = to_num(d[f.name], is_int)
         kw.update(overrides)
         return SamplerConfig(**kw)

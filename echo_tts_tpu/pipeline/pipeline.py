@@ -584,13 +584,19 @@ def stream_blocks_fused(dit_params, dit_cfg, sc, ae_params, ae_cfg, pca,
     if max_positions is None:
         max_positions = max(1024, total)
     ae_dtype = jax.tree_util.tree_leaves(ae_params)[0].dtype
+    # first_block_steps (opt-in TTFA knob): the FIRST emitted block samples
+    # with its own (smaller) step count; the field itself is stripped from
+    # every sc handed to an executable so it never splits the jit cache
+    sc_rest = dataclasses.replace(sc, first_block_steps=None)
+    sc0 = (dataclasses.replace(sc_rest, num_steps=int(sc.first_block_steps))
+           if sc.first_block_steps else sc_rest)
 
     if continuation_latent is None:
         # fused prologue: one dispatch to first audio
         bs0 = int(block_sizes[0])
         (kv_text, kv_speaker, prefix, lat_state, dec_state,
          audio) = _stream_first_block(
-            dit_params, dit_cfg, sc, ae_params, ae_cfg, pca, speaker_latent,
+            dit_params, dit_cfg, sc0, ae_params, ae_cfg, pca, speaker_latent,
             speaker_mask, ids, text_mask, jnp.asarray(noises[0], jnp.float32),
             bs0, total, model_dtype, max_positions)
         yield prefix, audio, 0, bs0
@@ -633,8 +639,10 @@ def stream_blocks_fused(dit_params, dit_cfg, sc, ae_params, ae_cfg, pca,
 
     for bi, bs in rest:
         noise = jnp.asarray(noises[bi], jnp.float32)
+        # a continuation's first emitted block is also "first" for the knob
+        sc_b = sc0 if (continuation_latent is not None and bi == 0) else sc_rest
         prefix, lat_state, dec_state, audio = _sample_block_and_decode(
-            dit_params, dit_cfg, sc, prefix, lat_state, dec_state,
+            dit_params, dit_cfg, sc_b, prefix, lat_state, dec_state,
             jnp.int32(start), noise, text_mask, speaker_mask, kv_text,
             kv_speaker, ae_params, ae_cfg, pca, int(bs), total, model_dtype,
             max_positions)

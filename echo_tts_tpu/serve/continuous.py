@@ -71,11 +71,17 @@ class ContinuousStreamScheduler:
 
     def __init__(self, engine, key, block_size: int, sc, normalize: bool,
                  spk_bucket: int, linger_s: float = 0.05):
+        import dataclasses
+
         from echo_tts_tpu.core.config import SamplerConfig
 
         self.engine = engine
         self.key = key
-        self.sc = sc or SamplerConfig()
+        # first_block_steps is a solo/dispatch-batched streaming knob; the
+        # continuous group's uniform blocks have no per-row "first block"
+        # executable, so strip it (also keeps the executable cache unsplit)
+        self.sc = dataclasses.replace(sc or SamplerConfig(),
+                                      first_block_steps=None)
         self.normalize = normalize
         self.spk_bucket = spk_bucket  # 0 = no-speaker group
         p = engine.tts.dit_cfg.speaker_patch_size

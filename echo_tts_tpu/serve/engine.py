@@ -546,6 +546,10 @@ class Engine:
               else int(list(block_size)[-1]))
         p = self.tts.dit_cfg.speaker_patch_size
         bs = -(-bs // p) * p
+        # the scheduler ignores first_block_steps (uniform group blocks);
+        # strip it BEFORE keying so such requests share the same group
+        import dataclasses as _dc
+        sc = _dc.replace(sc, first_block_steps=None)
         base_key = self._batch_key(text, speaker_audio, sc, normalize_text)
         key = ("cont", bs, base_key)
         req = _PendingStream(text, speaker_audio, seed, sc, normalize_text,
@@ -555,6 +559,12 @@ class Engine:
                 raise RuntimeError("engine is closed")
             sched = self._cont_scheds.get(key)
             if sched is None or not sched.submit(req):
+                # prune drained groups for OTHER keys while we're here —
+                # otherwise one closed scheduler per distinct (schedule,
+                # shapes, sampler) key accumulates for the server's lifetime
+                for k in [k for k, s in self._cont_scheds.items()
+                          if not s.thread.is_alive()]:
+                    del self._cont_scheds[k]
                 sched = ContinuousStreamScheduler(
                     self, key, bs, sc, normalize_text,
                     spk_bucket=base_key[3])

@@ -54,9 +54,16 @@ def main():
     # --bf16: keep the test run's weights bf16 (no int8) — isolates the
     # uncond-cache approximation's own deviation for attribution
     bf16_test = "--bf16" in sys.argv
-    if bf16_test and uncond_k <= 1:
-        sys.exit("--bf16 without --uncond-cache k compares a run against "
-                 "itself (SNR ~ inf); pass --uncond-cache 2 (or drop --bf16)")
+    # --first-steps k: first streaming block sampled with k Euler steps on
+    # the test run (the opt-in TTFA knob; blockwise only)
+    first_steps = None
+    if "--first-steps" in sys.argv:
+        first_steps = int(sys.argv[sys.argv.index("--first-steps") + 1])
+    if first_steps and not blockwise:
+        sys.exit("--first-steps is a streaming knob; add --blockwise")
+    if bf16_test and uncond_k <= 1 and not first_steps:
+        sys.exit("--bf16 without --uncond-cache/--first-steps compares a run "
+                 "against itself (SNR ~ inf); add an approximation flag")
     cfg = DiTConfig(has_latent_modules=blockwise)
     ae_cfg = AEConfig()
     sc = SamplerConfig(num_steps=40, cfg_scale_text=3.0, cfg_scale_speaker=8.0,
@@ -107,8 +114,8 @@ def main():
 
     t0 = time.time()
     import dataclasses
-    sc_test = (dataclasses.replace(sc, uncond_cache_interval=uncond_k)
-               if uncond_k > 1 else sc)
+    sc_test = dataclasses.replace(sc, uncond_cache_interval=uncond_k,
+                                  first_block_steps=first_steps)
     lat_ref, audio_ref = run(params, sc)
     lat_q, audio_q = run(params if bf16_test else qparams, sc_test)
     print(f"# two full samples + decode in {time.time()-t0:.1f}s", file=sys.stderr)
@@ -123,6 +130,8 @@ def main():
         "metric": (("bf16" if bf16_test else "int8 W8A8 trunk")
                    + ("+encoders" if encoders else "")
                    + (f"+uncond-cache k={uncond_k}" if uncond_k > 1 else "")
+                   + (f"+first-block {first_steps} steps" if first_steps
+                      else "")
                    + " vs bf16 exact, "
                    + ("blockwise 64+192x3 streaming" if blockwise
                       else "exact 40-step sampler") + ", same noise"),

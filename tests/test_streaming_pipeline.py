@@ -52,6 +52,45 @@ def test_stream_matches_blockwise_full_decode(tiny_tts):  # noqa: F811
     np.testing.assert_allclose(streamed, full, atol=2e-5, rtol=0)
 
 
+def test_first_block_steps_knob(tiny_tts):  # noqa: F811
+    """Opt-in TTFA knob: first_block_steps=k samples the FIRST block with k
+    Euler steps. k == num_steps is byte-identical to the exact stream (the
+    field is stripped before executables, so no cache split either); k <
+    num_steps yields a first chunk equal to a stream run entirely at k steps
+    (same prologue executable + config), while later blocks keep num_steps."""
+    import dataclasses
+
+    exact = list(sample_pipeline_stream(
+        tts := tiny_tts[2], TEXT, None, rng_seed=7, sc=SC, block_size=8,
+        normalize_text=True, stop_at_flattening=False))
+    noop = list(sample_pipeline_stream(
+        tts, TEXT, None, rng_seed=7,
+        sc=dataclasses.replace(SC, first_block_steps=SC.num_steps),
+        block_size=8, normalize_text=True, stop_at_flattening=False))
+    for a, b in zip(exact, noop):
+        np.testing.assert_array_equal(a, b)
+
+    sc_fast = dataclasses.replace(SC, first_block_steps=1)
+    fast = np.concatenate(list(sample_pipeline_stream(
+        tts, TEXT, None, rng_seed=7, sc=sc_fast, block_size=8,
+        normalize_text=True, stop_at_flattening=False)), axis=-1)
+    all_k = np.concatenate(list(sample_pipeline_stream(
+        tts, TEXT, None, rng_seed=7,
+        sc=dataclasses.replace(SC, num_steps=1), block_size=8,
+        normalize_text=True, stop_at_flattening=False)), axis=-1)
+    exact_cat = np.concatenate(exact, axis=-1)
+    n0 = 8 * tts.ae_cfg.frame_length  # first block's sample extent
+    # first block's audio: exactly the 1-step sampler's first block (same
+    # prologue executable, same config)
+    np.testing.assert_allclose(fast[..., :n0], all_k[..., :n0],
+                               atol=2e-5, rtol=0)
+    # and the knob actually changed the first block vs the exact stream
+    assert not np.allclose(fast[..., :n0], exact_cat[..., :n0], atol=1e-6)
+    # later blocks run at full num_steps: they differ from the all-1-step
+    # stream's continuation
+    assert not np.allclose(fast[..., n0:], all_k[..., n0:], atol=1e-6)
+
+
 def test_block_schedule_expansion():
     from echo_tts_tpu.pipeline.pipeline import _block_schedule
 
