@@ -431,6 +431,32 @@ def test_engine_continuous_staggered_join(tiny_tts):  # noqa: F811
     assert eng.health()["batches"] == 1  # ONE group served both
 
 
+def test_engine_continuous_int8_matches_plain_int8_stream(tiny_tts):  # noqa: F811
+    """The continuous scheduler on an int8 engine equals the plain streaming
+    pipeline run on the SAME quantized params — the measured continuous+int8
+    serving mode (BASELINE.md) routes through {q,s} weight leaves identically
+    to the solo path."""
+    import dataclasses
+
+    from echo_tts_tpu.pipeline.pipeline import sample_pipeline_stream
+    from echo_tts_tpu.serve.engine import Engine
+
+    _, _, tts = tiny_tts
+    eng = Engine(dataclasses.replace(tts), max_batch=2, continuous=True,
+                 int8=True)
+    try:
+        got = np.concatenate(list(eng.generate_stream(
+            "Continuous int8.", None, seed=6, sc=SC, block_size=8)), axis=-1)
+        ref_tts = dataclasses.replace(tts, dit_params=eng.tts.dit_params)
+        ref = np.concatenate(list(sample_pipeline_stream(
+            ref_tts, "Continuous int8.", None, 6, sc=SC, block_size=8,
+            normalize_text=True)), axis=-1)
+    finally:
+        eng.close()
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=0)
+
+
 def test_engine_warmup_continuous_covers_size_ladder(tiny_tts, monkeypatch):  # noqa: F811
     """A continuous engine's warmup(include_streaming=True) pre-compiles the
     group executables at EVERY elastic group size (1, 2, ..., max) — a lone
