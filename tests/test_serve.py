@@ -691,3 +691,27 @@ def test_engine_warmup_batched_streaming(tiny_tts):  # noqa: F811
         assert sum(c.shape[-1] for c in chunks) > 0
     finally:
         eng.close()
+
+
+def test_sampler_config_from_preset_coercion():
+    """Per-request sampler fields arrive as JSON strings/bools over HTTP
+    (server.py builds SamplerConfig.from_preset from the request body): the
+    int-valued knobs must come back as ints (jit static args; a float
+    uncond_cache_interval would silently split the executable cache) and
+    joint_uncond must survive as a bool."""
+    from echo_tts_tpu.core.config import SamplerConfig
+
+    sc = SamplerConfig.from_preset({
+        "num_steps": "8", "uncond_cache_interval": "2",
+        "first_block_steps": 16, "joint_uncond": True,
+        "cfg_scale_text": "3.5",
+    })
+    assert sc.num_steps == 8 and isinstance(sc.num_steps, int)
+    assert sc.uncond_cache_interval == 2
+    assert isinstance(sc.uncond_cache_interval, int)
+    assert sc.first_block_steps == 16
+    assert isinstance(sc.first_block_steps, int)
+    assert sc.joint_uncond is True
+    assert sc.cfg_scale_text == 3.5
+    assert SamplerConfig.from_preset(
+        {"first_block_steps": "none"}).first_block_steps is None
