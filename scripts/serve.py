@@ -62,6 +62,16 @@ def main():
     ap.add_argument("--continuous-block", type=int, default=64,
                     help="uniform latent block size for continuous stream "
                          "groups")
+    ap.add_argument("--no-fast-join", action="store_true",
+                    help="disable solo first-block sampling at continuous "
+                         "admission (fast join trades one B=1 block of "
+                         "group stall per admission for ~10x lower "
+                         "admission latency)")
+    ap.add_argument("--warmup-background", action="store_true",
+                    help="with --warmup: compile only the critical "
+                         "no-speaker set before serving; finish speaker "
+                         "buckets / batched sizes on a background thread "
+                         "(health reports warmup_tail_running)")
     ap.add_argument("--tp", type=int, default=1,
                     help=">1 shards the DiT over a tensor-parallel mesh "
                          "(Megatron head/MLP split via GSPMD + shard_map'd "
@@ -131,7 +141,8 @@ def main():
     engine = Engine(tts, int8=args.int8, max_batch=args.max_batch,
                     batch_wait_ms=args.batch_wait_ms, mesh=mesh,
                     continuous=args.continuous,
-                    continuous_block=args.continuous_block)
+                    continuous_block=args.continuous_block,
+                    continuous_fast_join=not args.no_fast_join)
     if args.warmup:
         from echo_tts_tpu.core.config import SamplerConfig as _SC
 
@@ -139,8 +150,11 @@ def main():
         # streaming executables too (fused prologue + block steps), so the
         # FIRST /tts_stream request meets the TTFA numbers
         wall = engine.warmup(
-            _SC(), include_streaming=tts.dit_cfg.has_latent_modules)
-        print(f"warmup done in {wall:.1f}s")
+            _SC(), include_streaming=tts.dit_cfg.has_latent_modules,
+            background_tail=args.warmup_background)
+        tail = (" (background tail running)" if args.warmup_background
+                else "")
+        print(f"warmup done in {wall:.1f}s{tail}")
     presets = load_sampler_presets(args.presets) if os.path.exists(
         args.presets) or not args.random_tiny else None
 

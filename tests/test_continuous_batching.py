@@ -368,7 +368,8 @@ def test_engine_continuous_solo_matches_plain_stream(tiny_tts):  # noqa: F811
         h = eng.health()
         assert "continuous_groups" in h  # live-group observability surface
         for g in h["continuous_groups"]:
-            assert set(g) == {"rows", "active", "joined", "max_rows"}
+            assert set(g) == {"rows", "active", "joined", "max_rows",
+                              "steps"}
     finally:
         eng.close()
     ref = np.concatenate(list(sample_pipeline_stream(
