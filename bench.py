@@ -25,9 +25,11 @@ import jax
 import jax.numpy as jnp
 
 # persistent compile cache: the driver re-runs this every round; warm runs
-# skip the ~4 min of XLA compiles
-os.makedirs("/root/repo/.jax_cache", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+# skip the ~4 min of XLA compiles. ECHO_TTS_COMPILE_CACHE overrides (the
+# --bringup cold measurement points it at an empty temp dir)
+_cache_dir = os.environ.get("ECHO_TTS_COMPILE_CACHE", "/root/repo/.jax_cache")
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 sys.path.insert(0, ".")
@@ -68,7 +70,8 @@ def main():
         first_steps = int(sys.argv[sys.argv.index("--first-steps") + 1])
     int8_enc = "--int8-encoders" in sys.argv  # + encoder/KV-proj GEMMs
     int8 = "--int8" in sys.argv or int8_enc  # opt-in W8A8 trunk (models/quant.py)
-    dit_cfg = DiTConfig(has_latent_modules=blockwise
+    trace = "--trace" in sys.argv
+    dit_cfg = DiTConfig(has_latent_modules=blockwise or trace
                         or "--continuous" in sys.argv)
     ae_cfg = AEConfig()
     sc = SamplerConfig(num_steps=STEPS, cfg_scale_text=3.0, cfg_scale_speaker=8.0,
@@ -88,9 +91,10 @@ def main():
     # single fused on-device init executable per model (host->device transfer
     # through the tunnel is slower than on-device RNG)
     dit_params = jax.jit(lambda k: init_dit_params(k, dit_cfg, dtype=jnp.bfloat16))(key)
-    if int8 and "--check" not in sys.argv:
+    if int8 and "--check" not in sys.argv and not trace:
         # --check --int8 keeps the bf16 params: the int8 gate quantizes a
-        # separate copy and compares the two paths
+        # separate copy and compares the two paths (--trace lets the Engine
+        # quantize, as serving does)
         from echo_tts_tpu.models.quant import quantize_dit_params
         dit_params = jax.jit(
             lambda p: quantize_dit_params(p, encoders=int8_enc))(dit_params)
@@ -114,6 +118,132 @@ def main():
         # the relay backend defers execution past block_until_ready; a tiny
         # host fetch is the reliable fence (see memory: axon-tpu-relay-pitfalls)
         np.asarray(x[(0,) * (x.ndim - 1) + (slice(0, 1),)])
+
+    if "--bringup" in sys.argv:
+        # Serving bring-up measurement (VERDICT r4 item 5): wall-clock and
+        # executable count for Engine.warmup with streaming (+ continuous
+        # ladder when --continuous). Run twice for the BASELINE table:
+        #   warm:  python bench.py --bringup [--continuous ...]
+        #   cold:  ECHO_TTS_COMPILE_CACHE=$(mktemp -d) python bench.py --bringup
+        # --speaker-buckets includes the full speaker-bucket matrix
+        # (the expensive tail); --background measures the critical-set time
+        # the server actually blocks on (Engine.warmup background_tail) and
+        # then waits out the tail to report both.
+        from echo_tts_tpu.core.config import PipelineConfig
+        from echo_tts_tpu.pipeline.pipeline import EchoTTS
+        from echo_tts_tpu.serve.engine import Engine
+
+        continuous = "--continuous" in sys.argv
+        cont_block = 64
+        if "--cont-block" in sys.argv:
+            cont_block = int(sys.argv[sys.argv.index("--cont-block") + 1])
+        blocks = [64, 192]
+        if "--blocks" in sys.argv:
+            blocks = [int(x) for x in
+                      sys.argv[sys.argv.index("--blocks") + 1].split(",")]
+        max_batch = batch if batch > 1 else 4
+        spk_buckets = "--speaker-buckets" in sys.argv
+        background = "--background" in sys.argv
+
+        tts = EchoTTS(dit_params, dit_cfg, ae_params, ae_cfg, pca,
+                      model_dtype=jnp.bfloat16, pipe_cfg=PipelineConfig())
+        eng = Engine(tts, int8=int8, int8_encoders=int8_enc,
+                     max_batch=max_batch, continuous=continuous,
+                     continuous_block=cont_block)
+        t0 = time.time()
+        wall = eng.warmup(sc, include_speaker_buckets=spk_buckets,
+                          include_streaming=True,
+                          stream_block_size=tuple(blocks),
+                          background_tail=background)
+        tail_s = None
+        if background and eng._warmup_tail is not None:
+            eng._warmup_tail.join()
+            tail_s = time.time() - t0 - wall
+        eng.close()
+        combos = getattr(eng, "warmup_combos", None)
+        cold = "ECHO_TTS_COMPILE_CACHE" in os.environ
+        mode_s = (f"continuous block {cont_block}" if continuous
+                  else f"dispatch blocks {'x'.join(map(str, blocks))}")
+        print(json.dumps({
+            "metric": f"serving bring-up (Engine.warmup), {mode_s}, "
+                      f"max_batch={max_batch}, "
+                      f"{'full speaker buckets' if spk_buckets else 'no-speaker'}"
+                      + (", cold cache" if cold else ", warm cache")
+                      + (", background tail" if background else ""),
+            "value": round(wall, 1),
+            "unit": "s",
+            "vs_baseline": round(wall, 1),
+            "combos": combos,
+            "tail_s": round(tail_s, 1) if tail_s is not None else None,
+        }))
+        return
+
+    if trace:
+        # Arrival-trace serving benchmark (VERDICT r4 item 3): a Poisson
+        # arrival process against the real serving Engine, reporting
+        # achieved throughput + p50/p95 TTFA/completion at this offered
+        # load. Mode comes from the existing flags:
+        #   dispatch-batched streaming (default): --batch N --blocks 64,576
+        #   continuous block-boundary:            --continuous --cont-block N
+        # Levers compose as elsewhere (--int8, --uncond-cache, --first-steps).
+        #   --rate R   arrivals per second (Poisson; default 0.4)
+        #   --n K      number of requests (default 16)
+        from echo_tts_tpu.bench.trace import run_trace
+        from echo_tts_tpu.core.config import PipelineConfig
+        from echo_tts_tpu.pipeline.pipeline import EchoTTS
+        from echo_tts_tpu.serve.engine import Engine
+
+        rate = 0.4
+        if "--rate" in sys.argv:
+            rate = float(sys.argv[sys.argv.index("--rate") + 1])
+        n_req = 16
+        if "--n" in sys.argv:
+            n_req = int(sys.argv[sys.argv.index("--n") + 1])
+        continuous = "--continuous" in sys.argv
+        cont_block = 64
+        if "--cont-block" in sys.argv:
+            cont_block = int(sys.argv[sys.argv.index("--cont-block") + 1])
+        blocks = [64, 192]
+        if "--blocks" in sys.argv:
+            blocks = [int(x) for x in
+                      sys.argv[sys.argv.index("--blocks") + 1].split(",")]
+        max_batch = batch if batch > 1 else 4
+
+        tts = EchoTTS(dit_params, dit_cfg, ae_params, ae_cfg, pca,
+                      model_dtype=jnp.bfloat16, pipe_cfg=PipelineConfig())
+        eng = Engine(tts, int8=int8, int8_encoders=int8_enc,
+                     max_batch=max_batch, continuous=continuous,
+                     continuous_block=cont_block)
+        t0 = time.time()
+        eng.warmup(sc, include_speaker_buckets=False, include_streaming=True,
+                   stream_block_size=tuple(blocks))
+        print(f"# trace warmup {time.time()-t0:.1f}s", file=sys.stderr)
+        try:
+            summary = run_trace(eng, sc, n_req, rate,
+                                block_size=(cont_block if continuous
+                                            else tuple(blocks)))
+        finally:
+            eng.close()
+        mode_s = (f"continuous block {cont_block}" if continuous
+                  else f"dispatch blocks {'x'.join(map(str, blocks))}")
+        levers = []
+        if int8:
+            levers.append("int8" + ("+enc" if int8_enc else ""))
+        if uncond_cache > 1:
+            levers.append(f"cache k={uncond_cache}")
+        if first_steps:
+            levers.append(f"first {first_steps}")
+        print(json.dumps({
+            "metric": f"arrival-trace serving, {mode_s}, max_batch="
+                      f"{max_batch}"
+                      + (", " + "+".join(levers) if levers else "")
+                      + f", rate {rate}/s x {n_req} reqs",
+            "value": summary["achieved_audio_s_per_s"],
+            "unit": "audio_s_per_s_per_chip",
+            "vs_baseline": summary["achieved_audio_s_per_s"],
+            **summary,
+        }))
+        sys.exit(0 if summary["n_ok"] == n_req else 1)
 
     if "--check" in sys.argv:
         # On-TPU full-shape kernel correctness gate: the numeric tests verify
@@ -147,8 +277,29 @@ def main():
             outs[impl] = np.asarray(
                 f(dit_params, x, t, text_mask, speaker_mask, kvt, kvs),
                 np.float32)
-        _dit.set_attention_impl("auto")
         attn_rel = rel(outs["pallas"], outs["xla"])
+
+        # no-speaker serving shape: ONE speaker patch (T=1 segment). The
+        # r5 trace bench caught a Mosaic miscompile here (degenerate-T dot
+        # -> 'vector.broadcast' verification failure) that every big-speaker
+        # run missed — gate it permanently.
+        spk1 = jax.random.normal(jax.random.fold_in(key, 9),
+                                 (batch, 4, dit_cfg.latent_size),
+                                 dtype=jnp.float32)
+        kvs1 = jax.jit(get_kv_cache_speaker, static_argnames=("cfg",))(
+            dit_params, dit_cfg, spk1.astype(jnp.bfloat16))
+        smask1 = jnp.zeros((batch, 4), jnp.bool_)  # no-speaker: all masked
+        outs1 = {}
+        for impl in ("pallas", "xla"):
+            _dit.set_attention_impl(impl)
+            f1 = jax.jit(lambda p, x_, t_, tm, sm, kt, ks: dit_forward_cfg(
+                p, dit_cfg, x_, t_, tm, sm, kt, ks))
+            outs1[impl] = np.asarray(
+                f1(dit_params, x, t, text_mask, smask1, kvt, kvs1),
+                np.float32)
+        _dit.set_attention_impl("auto")
+        attn1_rel = rel(outs1["pallas"], outs1["xla"])
+        attn_rel = max(attn_rel, attn1_rel)
 
         zq = jax.random.normal(jax.random.fold_in(key, 7),
                                (batch, ae_cfg.latent_dim, SEQ),
@@ -307,7 +458,43 @@ def main():
         jax.block_until_ready(gs["kv_text"])
         join_s = time.time() - t0
 
-        extra = {}
+        # fast-join admission (round 5, serve/continuous.py): the joiner's
+        # first block samples SOLO inside the admission dispatch, so
+        # admission -> first audio = this call (+ the in-flight block
+        # remainder), not a full group step. Timed at the serving step
+        # count and at the 16-step first_block_steps variant.
+        import dataclasses as _dc
+
+        from echo_tts_tpu.pipeline.pipeline import _join_row_first_block
+
+        fast = {}
+        for label, sc_j in (("fastjoin_ms", sc),
+                            ("fastjoin16_ms",
+                             _dc.replace(sc, first_block_steps=None,
+                                         num_steps=16))):
+            nj = draw_noise(900, (1, bs, dit_cfg.latent_size))
+            gs, a_fj, _bl = _join_row_first_block(   # compile
+                dit_params, dit_cfg, sc_j, ae_params, ae_cfg, pca, gs,
+                0, ids[:1], text_mask[:1], speaker_latent[:1],
+                speaker_mask[:1], nj, bs, total, jnp.bfloat16,
+                max(1024, total))
+            jax.device_get(a_fj)
+            t0 = time.time()
+            for i in range(3):
+                gs, a_fj, _bl = _join_row_first_block(
+                    dit_params, dit_cfg, sc_j, ae_params, ae_cfg, pca, gs,
+                    0, ids[:1], text_mask[:1], speaker_latent[:1],
+                    speaker_mask[:1],
+                    draw_noise(901 + i, (1, bs, dit_cfg.latent_size)),
+                    bs, total, jnp.bfloat16, max(1024, total))
+                jax.device_get(a_fj)
+            fast[label] = round((time.time() - t0) / 3 * 1e3, 1)
+        print(f"# fast-join admission: {fast['fastjoin_ms']:.0f}ms at "
+              f"{STEPS} steps, {fast['fastjoin16_ms']:.0f}ms at 16 steps "
+              f"(admission->first-audio; was join+2 steps "
+              f"{(join_s + 2*step_s)*1e3:.0f}ms)", file=sys.stderr)
+
+        extra = dict(fast)
         if "--cont-elastic" in sys.argv and batch > 1:
             # elastic group sizing: time the B->B/2 shrink and B/2->B grow
             # gathers the scheduler issues at size transitions
@@ -355,11 +542,12 @@ def main():
                     draw_noise(501 + i, (half, bs, dit_cfg.latent_size)))
                 jax.device_get((audio, bl))
             half_step_s = (time.time() - t0) / 3
-            extra = {"resize_ms": round(resize_s * 1e3, 1),
+            extra.update({
+                     "resize_ms": round(resize_s * 1e3, 1),
                      "half_step_ms": round(half_step_s * 1e3, 1),
                      "half_audio_s_per_s": round(
                          half * bs * ae_cfg.frame_length / ae_cfg.sample_rate
-                         / half_step_s, 3)}
+                         / half_step_s, 3)})
             print(f"# elastic: resize {resize_s*1e3:.0f}ms/call (chained "
                   f"mean of {2*n_pairs}), B={half} step "
                   f"{half_step_s*1e3:.0f}ms", file=sys.stderr)

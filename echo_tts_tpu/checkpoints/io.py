@@ -85,8 +85,15 @@ def load_pytree_like(path: str, like: Any) -> Any:
     like_leaves, treedef = jax.tree_util.tree_flatten(like)
     assert len(z.files) == len(like_leaves), (
         f"checkpoint has {len(z.files)} leaves, template {len(like_leaves)}")
-    leaves = [jnp.asarray(z[f"leaf_{i:06d}"], getattr(b, "dtype", None))
-              for i, b in enumerate(like_leaves)]
+    leaves = []
+    for i, b in enumerate(like_leaves):
+        arr = z[f"leaf_{i:06d}"]
+        want = getattr(b, "dtype", None)
+        if want is not None and arr.dtype.kind == "V":
+            # npz stores ml_dtypes leaves (bf16, fp8) as raw void bytes —
+            # numpy has no cast from void, so reinterpret via the template
+            arr = arr.view(np.dtype(want))
+        leaves.append(jnp.asarray(arr, want))
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 

@@ -553,6 +553,11 @@ def encode_codes(params: dict, cfg: AEConfig, audio: jnp.ndarray) -> jnp.ndarray
     right_pad = -length % cfg.frame_length
     if right_pad:
         audio = jnp.pad(audio, ((0, 0), (0, 0), (0, right_pad)))
+    # run the encoder in the params' dtype: with the bf16 low-VRAM AE
+    # (reference gradio_app.py:36-38) fp32 request audio would otherwise
+    # die in conv_general_dilated on a dtype mismatch (caught by the r5
+    # cold bring-up run — the speaker-prompt path had only ever run fp32)
+    audio = audio.astype(jax.tree_util.tree_leaves(params)[0].dtype)
     z = encoder_forward(params, cfg, audio)
     z = _downsample(params, cfg, z)
     z = _q_transformer(params, cfg, "pre_module", z)

@@ -208,6 +208,21 @@ def joint_attention_grouped_pallas(q, k_self, v_self, segments,
         in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
         args = [jnp.asarray(self_len, jnp.int32).reshape(b)] + args
     for k, v, mask, s_kv_scale in segments:
+        # pad tiny segments to the 8-sublane multiple: a degenerate T (the
+        # no-speaker serving shape is ONE speaker patch, T=1) makes Mosaic
+        # emit a broadcast-based dot that fails element-type verification
+        # ('vector.broadcast' bf16->f32, caught by the r5 trace bench —
+        # every prior TPU run used T>=768 segments). Padded keys carry a
+        # -1e30 bias, identical to a masked-off key. Aligned T is untouched.
+        if k.shape[2] % 8:
+            k = _pad_to(k, 2, 8)
+            v = _pad_to(v, 2, 8)
+            if mask.dtype == jnp.bool_:
+                mask = _pad_to(mask, 2, 8)  # False-padded -> -1e30 below
+            else:
+                pad_w = [(0, 0)] * mask.ndim
+                pad_w[2] = (0, -mask.shape[2] % 8)
+                mask = jnp.pad(mask, pad_w, constant_values=_NEG)
         t = k.shape[2]
         in_specs += [
             pl.BlockSpec((1, 1, t, d), lambda bb, hh, qq, gg: (bb, hh, 0, 0)),
@@ -481,8 +496,19 @@ def joint_attention_grouped_pallas_bwd(q, k_self, v_self, flat_segments, do,
     args = [qt, kst, vst, dot_]
     out_specs = [gbh_spec, gbh_spec, gbh_spec]
     out_shapes = [jax.ShapeDtypeStruct((g, b, h, s_pad, d), q.dtype)] * 3
+    seg_ts = []
     for i in range(nseg):
         k, v, bias, s_kv = flat_segments[4 * i: 4 * i + 4]
+        seg_ts.append(k.shape[2])
+        # same degenerate-T guard as the forward wrapper (a 1-patch
+        # no-speaker segment breaks Mosaic's dot lowering): pad to the
+        # 8-sublane multiple with -1e30 bias; dk/dv crop back below
+        if k.shape[2] % 8:
+            k = _pad_to(k, 2, 8)
+            v = _pad_to(v, 2, 8)
+            pad_w = [(0, 0)] * bias.ndim
+            pad_w[2] = (0, -bias.shape[2] % 8)
+            bias = jnp.pad(bias, pad_w, constant_values=_NEG)
         t = k.shape[2]
         in_specs += [
             pl.BlockSpec((1, 1, t, d), lambda bb, hh: (bb, hh, 0, 0)),
@@ -509,4 +535,8 @@ def joint_attention_grouped_pallas_bwd(q, k_self, v_self, flat_segments, do,
         interpret=interpret,
     )(*args)
     dq, dks, dvs = outs[0][:, :, :, :s], outs[1][:, :, :, :s], outs[2][:, :, :, :s]
-    return dq, dks, dvs, list(outs[3:])
+    dsegs = []
+    for i in range(nseg):
+        dsegs += [outs[3 + 2 * i][:, :, :seg_ts[i]],
+                  outs[4 + 2 * i][:, :, :seg_ts[i]]]
+    return dq, dks, dvs, dsegs

@@ -121,7 +121,8 @@ class Engine:
                  batch_wait_ms: float = 10.0, speaker_cache_size: int = 8,
                  mesh=None, continuous: bool = False,
                  continuous_block: int = 64,
-                 continuous_fast_join: bool = True):
+                 continuous_fast_join: bool = True,
+                 int8_cache_path: Optional[str] = None):
         """int8: opt-in W8A8 trunk quantization (models/quant.py) — applied
         to the effective params after any LoRA merge; the bf16 base stays
         resident for future merges. ~1.34x serving throughput (BASELINE.md)
@@ -176,6 +177,10 @@ class Engine:
         self._base_params = tts.dit_params
         self.int8 = int8 or int8_encoders
         self.int8_encoders = int8_encoders
+        # optional npz cache of the quantized BASE params (VERDICT r4
+        # item 8): restart skips the quantization jit (compile + execute);
+        # LoRA merges always re-quantize (merged weights differ)
+        self._int8_cache_path = int8_cache_path
         self._mesh = mesh
         # own copy of the container: quantization / LoRA swaps must never
         # leak into the caller's EchoTTS (another Engine or a training path
@@ -237,12 +242,31 @@ class Engine:
 
     def _effective(self, params):
         if self.int8:
+            import os as _os
+
             import jax
 
             from echo_tts_tpu.models.quant import quantize_dit_params
 
-            params = jax.jit(lambda p: quantize_dit_params(
-                p, encoders=self.int8_encoders))(params)
+            def qfn(p):
+                return quantize_dit_params(p, encoders=self.int8_encoders)
+
+            # persisted quantization applies to the BASE params only —
+            # a LoRA merge changes the weights, so merged params always
+            # re-quantize
+            cacheable = (self._int8_cache_path is not None
+                         and params is self._base_params)
+            if cacheable and _os.path.exists(self._int8_cache_path):
+                from echo_tts_tpu.checkpoints.io import load_pytree_like
+
+                params = load_pytree_like(self._int8_cache_path,
+                                          jax.eval_shape(qfn, params))
+            else:
+                params = jax.jit(qfn)(params)
+                if cacheable:
+                    from echo_tts_tpu.checkpoints.io import save_tree_leaves
+
+                    save_tree_leaves(self._int8_cache_path, params)
         if self._mesh is not None:
             from echo_tts_tpu.parallel.sharding import shard_params
 
@@ -1003,6 +1027,7 @@ class Engine:
                 n_combos += 1
                 b *= 2
         wall = time.perf_counter() - t0
+        self.warmup_combos = n_combos  # bring-up observability (bench.py)
         log.info("warmup: %d shape combos in %.1fs", n_combos, wall)
         return wall
 

@@ -50,6 +50,10 @@ def main():
     ap.add_argument("--int8", action="store_true",
                     help="opt-in W8A8 int8 trunk (models/quant.py): ~1.34x "
                          "throughput at 46.9 dB latent SNR (BASELINE.md)")
+    ap.add_argument("--int8-cache", default=None, metavar="PATH",
+                    help="npz cache of the quantized base params: first "
+                         "start quantizes and saves, restarts load and skip "
+                         "the quantization jit")
     ap.add_argument("--max-batch", type=int, default=1,
                     help=">1 enables continuous micro-batching: concurrent "
                          "compatible requests run as one batched device call")
@@ -142,7 +146,8 @@ def main():
                     batch_wait_ms=args.batch_wait_ms, mesh=mesh,
                     continuous=args.continuous,
                     continuous_block=args.continuous_block,
-                    continuous_fast_join=not args.no_fast_join)
+                    continuous_fast_join=not args.no_fast_join,
+                    int8_cache_path=args.int8_cache)
     if args.warmup:
         from echo_tts_tpu.core.config import SamplerConfig as _SC
 

@@ -30,6 +30,27 @@ def test_npz_pytree_roundtrip(tmp_path):
     assert isinstance(back["list"], list)
 
 
+def test_tree_leaves_bf16_roundtrip(tmp_path):
+    """np.savez stores ml_dtypes leaves (bf16) as raw void bytes;
+    load_pytree_like must reinterpret them through the template's dtype
+    (previously raised 'No cast function available' — every serving
+    checkpoint is bf16)."""
+    from echo_tts_tpu.checkpoints.io import load_pytree_like, save_tree_leaves
+
+    tree = {"w": jnp.asarray(np.arange(6, dtype=np.float32) / 3,
+                             jnp.bfloat16),
+            "q": {"q": np.arange(4, dtype=np.int8),
+                  "s": np.ones(4, np.float32)}}
+    p = str(tmp_path / "bf16.npz")
+    save_tree_leaves(p, tree)
+    back = load_pytree_like(p, tree)
+    assert back["w"].dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(back["w"], np.float32),
+                                  np.asarray(tree["w"], np.float32))
+    assert back["q"]["q"].dtype == jnp.int8
+    np.testing.assert_array_equal(back["q"]["q"], tree["q"]["q"])
+
+
 def test_load_dit_from_safetensors(tmp_path):
     from safetensors.torch import save_file
 

@@ -31,6 +31,11 @@ def _mk(g, b, s, h, d, seg_lens, seed=0, dtype=jnp.float32, scales=None):
     (3, 1, 128, 2, 128, (256,)),        # one segment, aligned
     (3, 2, 100, 2, 128, (200, 96)),     # two segments, unaligned S and T
     (1, 1, 64, 4, 128, (384, 128, 64)),  # three segments (latent path)
+    (3, 1, 64, 2, 128, (128, 1)),       # degenerate T=1 segment: the
+    #   no-speaker serving shape (one speaker patch) — the wrapper pads it
+    #   to the sublane multiple (Mosaic miscompiles T=1 dots; bench --check
+    #   gates the compiled form on-chip)
+    (3, 1, 64, 2, 128, (5, 128)),       # sub-sublane unaligned T
 ])
 def test_pallas_matches_xla(shape):
     g, b, s, h, d, seg_lens = shape

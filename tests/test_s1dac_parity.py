@@ -97,6 +97,26 @@ def test_encode_codes_parity(setup):
     np.testing.assert_array_equal(np.asarray(codes), ref_codes.numpy())
 
 
+def test_encode_bf16_ae_accepts_fp32_audio(setup):
+    """The bf16 low-VRAM AE (reference gradio_app.py:36-38) must encode
+    fp32 request audio: encode_codes casts to the params dtype at entry
+    (pre-fix this crashed in conv_general_dilated — caught on the real
+    serving path by the r5 bring-up run, since only fp32 AEs had ever
+    encoded). Codes must agree with the fp32 encode for a comfortable
+    majority of frames (bf16 rounding can flip a nearest-codebook tie)."""
+    import jax
+
+    dac, params, audio = setup
+    p16 = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16)
+        if jnp.asarray(a).dtype == jnp.float32 else a, params)
+    codes16 = s1dac.encode_codes(p16, CFG, jnp.asarray(audio.numpy()))
+    codes32 = s1dac.encode_codes(params, CFG, jnp.asarray(audio.numpy()))
+    assert codes16.shape == codes32.shape
+    agree = float(np.mean(np.asarray(codes16) == np.asarray(codes32)))
+    assert agree > 0.5, f"bf16 encode diverged: {agree:.2%} code agreement"
+
+
 def test_encode_zq_parity(setup):
     import torch
 

@@ -54,6 +54,52 @@ def test_engine_lora_swap(engine, tmp_path):
     np.testing.assert_allclose(a_base, a_back, atol=1e-6)
 
 
+def test_engine_int8_cache_roundtrip(tiny_tts, tmp_path):  # noqa: F811
+    """int8_cache_path (VERDICT r4 item 8): the first engine quantizes the
+    base params and persists them; a restarted engine loads the npz instead
+    of re-running the quantization jit, with identical outputs. A LoRA
+    merge bypasses the cache (merged weights differ)."""
+    import dataclasses
+
+    _, _, tts = tiny_tts
+    p = str(tmp_path / "int8.npz")
+    e1 = Engine(dataclasses.replace(tts), int8=True, int8_cache_path=p)
+    a1, _, _ = e1.generate("Cache me.", None, seed=4, sc=SC)
+    e1.close()
+    import os
+    assert os.path.exists(p)
+
+    from echo_tts_tpu.checkpoints import io as cio
+
+    loads = []
+    real_load = cio.load_pytree_like
+
+    def load_spy(path, like):
+        loads.append(path)
+        return real_load(path, like)
+
+    jits = []
+    real_jit = jax.jit
+
+    def jit_spy(*a, **k):
+        jits.append(1)
+        return real_jit(*a, **k)
+
+    cio.load_pytree_like = load_spy
+    try:
+        jax.jit = jit_spy  # Engine init's only jax.jit use is the quantize
+        e2 = Engine(dataclasses.replace(tts), int8=True, int8_cache_path=p)
+        jax.jit = real_jit
+        a2, _, _ = e2.generate("Cache me.", None, seed=4, sc=SC)
+        e2.close()
+    finally:
+        jax.jit = real_jit
+        cio.load_pytree_like = real_load
+    assert loads == [p], "restart did not load the quantization cache"
+    assert not jits, "restart still ran the quantization jit"
+    np.testing.assert_allclose(a1, a2, atol=1e-6, rtol=0)
+
+
 def test_engine_warmup_compiles_buckets(engine):
     """warmup runs one generation per bucket combo (no-speaker + each
     speaker bucket) without touching request stats semantics beyond the
