@@ -188,6 +188,10 @@ def main():
         # Levers compose as elsewhere (--int8, --uncond-cache, --first-steps).
         #   --rate R   arrivals per second (Poisson; default 0.4)
         #   --n K      number of requests (default 16)
+        #   --mix A;B  alternate requests between two block specs —
+        #              heterogeneous traffic: different batch keys
+        #              (dispatch) / two interleaving live groups
+        #              (continuous, exercises the r5 FIFO-lock fairness)
         from echo_tts_tpu.bench.trace import run_trace
         from echo_tts_tpu.core.config import PipelineConfig
         from echo_tts_tpu.pipeline.pipeline import EchoTTS
@@ -208,6 +212,13 @@ def main():
             blocks = [int(x) for x in
                       sys.argv[sys.argv.index("--blocks") + 1].split(",")]
         max_batch = batch if batch > 1 else 4
+        mix = None
+        if "--mix" in sys.argv:
+            def _spec(s):
+                v = [int(x) for x in s.split(",")]
+                return v[0] if len(v) == 1 else tuple(v)
+            mix = [_spec(s) for s in
+                   sys.argv[sys.argv.index("--mix") + 1].split(";")]
 
         tts = EchoTTS(dit_params, dit_cfg, ae_params, ae_cfg, pca,
                       model_dtype=jnp.bfloat16, pipe_cfg=PipelineConfig())
@@ -215,17 +226,29 @@ def main():
                      max_batch=max_batch, continuous=continuous,
                      continuous_block=cont_block)
         t0 = time.time()
-        eng.warmup(sc, include_speaker_buckets=False, include_streaming=True,
-                   stream_block_size=tuple(blocks))
+        warm_specs = ([tuple(blocks)] if mix is None else
+                      [s if isinstance(s, tuple) else (s,) for s in mix])
+        for ws in warm_specs:
+            if continuous:
+                # the continuous warmup ladder follows continuous_block;
+                # point it at each mixed spec's group block so BOTH live
+                # groups' executables are warm
+                eng.continuous_block = ws[-1]
+            eng.warmup(sc, include_speaker_buckets=False,
+                       include_streaming=True, stream_block_size=ws)
+        eng.continuous_block = cont_block
         print(f"# trace warmup {time.time()-t0:.1f}s", file=sys.stderr)
         try:
             summary = run_trace(eng, sc, n_req, rate,
                                 block_size=(cont_block if continuous
-                                            else tuple(blocks)))
+                                            else tuple(blocks)),
+                                block_size_mix=mix)
         finally:
             eng.close()
         mode_s = (f"continuous block {cont_block}" if continuous
                   else f"dispatch blocks {'x'.join(map(str, blocks))}")
+        if mix is not None:
+            mode_s += f", mixed keys {mix}"
         levers = []
         if int8:
             levers.append("int8" + ("+enc" if int8_enc else ""))

@@ -52,12 +52,19 @@ def _pct(vals: List[float], q: float) -> float:
 
 def run_trace(engine, sc, n_requests: int, rate_hz: float,
               block_size=(64, 192), seed: int = 0,
-              timeout_s: float = 1800.0) -> dict:
+              timeout_s: float = 1800.0, block_size_mix=None) -> dict:
     """Submit `n_requests` streaming requests at Poisson rate `rate_hz`
     (exponential inter-arrivals, fixed RNG) against `engine` and measure,
     per request, arrival→first-chunk (TTFA) and arrival→last-chunk
     (completion). Texts cycle through mixed lengths; seeds vary per
     request. Returns the summary dict (one bench JSON object).
+
+    block_size_mix: optional list of block specs — request i uses
+    block_size_mix[i % len]. HETEROGENEOUS traffic: in dispatch mode the
+    specs are different batch keys (groups fragment); in continuous mode
+    each spec keys its own live group, so the groups must interleave at
+    block granularity (the r5 FIFO-lock fairness design — pre-r5 one
+    group starved the other for its whole lifetime).
 
     Throughput is total emitted audio over the busy makespan (first arrival
     → last completion) — the steady-state audio-s/s the configuration
@@ -72,10 +79,12 @@ def run_trace(engine, sc, n_requests: int, rate_hz: float,
         r = results[i]
         r.arrival_s = time.perf_counter() - t0
         samples = 0
+        bs_i = (block_size if block_size_mix is None
+                else block_size_mix[i % len(block_size_mix)])
         try:
             for chunk in engine.generate_stream(
                     _TEXTS[i % len(_TEXTS)], None, seed=1000 + i, sc=sc,
-                    block_size=block_size):
+                    block_size=bs_i):
                 now = time.perf_counter() - t0
                 if r.ttfa_s is None:
                     r.ttfa_s = now - r.arrival_s

@@ -51,6 +51,22 @@ def test_trace_continuous_mode(tiny_tts):  # noqa: F811
     assert s["completion_p95_s"] < 600
 
 
+def test_trace_mixed_keys_continuous(tiny_tts):  # noqa: F811
+    """block_size_mix under continuous mode: two block specs key TWO live
+    groups that must interleave at block granularity (the r5 FIFO-lock
+    fairness) — every request completes."""
+    _, _, tts = tiny_tts
+    eng = Engine(dataclasses.replace(tts), max_batch=2, continuous=True)
+    try:
+        s = run_trace(eng, SC, n_requests=6, rate_hz=50.0,
+                      block_size_mix=[4, 8], timeout_s=600)
+    finally:
+        eng.close()
+    _check_summary(s, 6)
+    # two compatibility keys -> two schedulers existed
+    assert len(eng._cont_scheds) == 2, list(eng._cont_scheds)
+
+
 def test_trace_seeded_arrivals_reproducible(tiny_tts):  # noqa: F811
     """Same seed -> same arrival schedule (the load points in BASELINE.md
     must be re-runnable)."""
