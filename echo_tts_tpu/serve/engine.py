@@ -487,11 +487,15 @@ class Engine:
         """Run grouped streaming requests as ONE batched device stream
         (pipeline.sample_pipeline_stream_batch; n == 1 uses the solo
         pipeline). Chunks flow into each request's bounded queue — the
-        device lock is held only while sampling, never while a client
-        drains. Per-stream audio matches the solo stream with the same seed
-        (per-seed noise rows). Like _run_batch, the device batch rounds up
-        to a power of two by repeating row 0 (pad-row chunks discarded), so
-        compiles are capped at log2(max_batch)+1 per signature."""
+        device lock is held PER BLOCK (each generator step), never across
+        the whole stream or while a client drains: other device-path
+        callers (set_lora, warmup, direct generates, continuous groups)
+        interleave at block granularity through the FIFO lock, the same
+        fairness contract as continuous mode (r5). Per-stream audio
+        matches the solo stream with the same seed (per-seed noise rows).
+        Like _run_batch, the device batch rounds up to a power of two by
+        repeating row 0 (pad-row chunks discarded), so compiles are capped
+        at log2(max_batch)+1 per signature."""
         from echo_tts_tpu.pipeline.pipeline import (
             sample_pipeline_stream,
             sample_pipeline_stream_batch,
@@ -503,39 +507,53 @@ class Engine:
         t0 = time.perf_counter()
         n_samples = [0] * n
         ok = False
+        gen = None
         try:
-            with self._lock:
-                if n == 1:
-                    r = batch[0]
-                    for chunk in sample_pipeline_stream(
-                            self.tts, r.text, r.speaker, r.seed, sc=sc,
-                            block_size=block_size, normalize_text=normalize,
-                            speaker_cache=self._speaker_cache):
-                        n_samples[0] += chunk.shape[-1]
-                        r.push(chunk)
-                        if r.gone.is_set():
-                            break  # abandoned: stop paying for sampling
-                else:
-                    target = _pow2_ceil(n)
-                    reqs = [(r.text, r.speaker, r.seed) for r in batch]
-                    reqs += [reqs[0]] * (target - n)
-                    for out in sample_pipeline_stream_batch(
-                            self.tts, reqs, sc=sc, block_size=block_size,
-                            normalize_text=normalize,
-                            speaker_cache=self._speaker_cache):
-                        for i, chunk in out.items():
-                            if i >= n:
-                                continue  # pad row
-                            n_samples[i] += chunk.shape[-1]
-                            batch[i].push(chunk)
-                        if all(r.gone.is_set() for r in batch):
+            if n == 1:
+                r = batch[0]
+                gen = sample_pipeline_stream(
+                    self.tts, r.text, r.speaker, r.seed, sc=sc,
+                    block_size=block_size, normalize_text=normalize,
+                    speaker_cache=self._speaker_cache)
+                while True:
+                    with self._lock:
+                        try:
+                            chunk = next(gen)
+                        except StopIteration:
                             break
+                    n_samples[0] += chunk.shape[-1]
+                    r.push(chunk)
+                    if r.gone.is_set():
+                        break  # abandoned: stop paying for sampling
+            else:
+                target = _pow2_ceil(n)
+                reqs = [(r.text, r.speaker, r.seed) for r in batch]
+                reqs += [reqs[0]] * (target - n)
+                gen = sample_pipeline_stream_batch(
+                    self.tts, reqs, sc=sc, block_size=block_size,
+                    normalize_text=normalize,
+                    speaker_cache=self._speaker_cache)
+                while True:
+                    with self._lock:
+                        try:
+                            out = next(gen)
+                        except StopIteration:
+                            break
+                    for i, chunk in out.items():
+                        if i >= n:
+                            continue  # pad row
+                        n_samples[i] += chunk.shape[-1]
+                        batch[i].push(chunk)
+                    if all(r.gone.is_set() for r in batch):
+                        break
             ok = True
         except Exception as e:  # pragma: no cover - device-failure path
             log.warning("stream batch failed: %s", e)
             for r in batch:
                 r.push(e)
         finally:
+            if gen is not None:
+                gen.close()
             # a False END push means the client was gone before completion —
             # count it as a failure, matching _stream_device_locked's
             # accounting for a mid-stream disconnect on the unbatched path
@@ -729,36 +747,43 @@ class Engine:
     def _stream_device_locked(self, text, speaker_audio, seed, sc, block_size,
                               normalize_text, continuation_audio, gone):
         """Device side of generate_stream: the blockwise sampler + causal
-        decode under the device lock (single-writer discipline). Checks
-        `gone` between blocks so an abandoned stream stops paying for
-        sampling."""
+        decode, taking the device lock PER BLOCK (each generator step) so
+        other device-path callers interleave at block granularity — the
+        r5 fairness contract. Checks `gone` between blocks so an abandoned
+        stream stops paying for sampling."""
         from echo_tts_tpu.pipeline.pipeline import sample_pipeline_stream
 
-        with self._lock:
-            t0 = time.perf_counter()
-            n_samples = 0
-            done = False
-            try:
-                for chunk in sample_pipeline_stream(
-                        self.tts, text, speaker_audio, seed, sc=sc,
-                        block_size=block_size, normalize_text=normalize_text,
-                        continuation_audio=continuation_audio,
-                        speaker_cache=self._speaker_cache):
-                    n_samples += chunk.shape[-1]
-                    yield chunk
-                    if gone.is_set():
-                        return
-                done = True
-            finally:
-                # count the request even when the client disconnects
-                # mid-stream or the device errors out
-                with self._stats_mu:
-                    self.stats["requests"] += 1
-                    if not done:
-                        self.stats["failures"] += 1
-                    self.stats["total_sample_s"] += time.perf_counter() - t0
-                    self.stats["total_audio_s"] += (
-                        n_samples / self.tts.ae_cfg.sample_rate)
+        t0 = time.perf_counter()
+        n_samples = 0
+        done = False
+        gen = sample_pipeline_stream(
+            self.tts, text, speaker_audio, seed, sc=sc,
+            block_size=block_size, normalize_text=normalize_text,
+            continuation_audio=continuation_audio,
+            speaker_cache=self._speaker_cache)
+        try:
+            while True:
+                with self._lock:
+                    try:
+                        chunk = next(gen)
+                    except StopIteration:
+                        break
+                n_samples += chunk.shape[-1]
+                yield chunk
+                if gone.is_set():
+                    return
+            done = True
+        finally:
+            gen.close()
+            # count the request even when the client disconnects
+            # mid-stream or the device errors out
+            with self._stats_mu:
+                self.stats["requests"] += 1
+                if not done:
+                    self.stats["failures"] += 1
+                self.stats["total_sample_s"] += time.perf_counter() - t0
+                self.stats["total_audio_s"] += (
+                    n_samples / self.tts.ae_cfg.sample_rate)
 
     def warmup(self, sc: Optional[SamplerConfig] = None,
                include_speaker_buckets: bool = True,

@@ -376,6 +376,49 @@ def test_mixed_traffic_interleaves_with_sustained_group(tiny_tts):  # noqa: F811
     np.testing.assert_allclose(out, f_ref, atol=2e-5, rtol=0)
 
 
+def test_oneshot_interleaves_with_direct_stream(tiny_tts):  # noqa: F811
+    """The dispatch/direct streaming paths take the device lock PER BLOCK
+    (r5): a one-shot generate on the same engine completes while a long
+    stream is still mid-flight instead of waiting for it to finish. Stream
+    audio still equals the solo pipeline run."""
+    from echo_tts_tpu.pipeline.pipeline import sample_pipeline_stream
+    from echo_tts_tpu.serve.engine import Engine
+
+    _, _, tts = tiny_tts
+    sc_long = dataclasses.replace(SC, sequence_length=64)
+    eng = Engine(dataclasses.replace(tts))  # max_batch=1: direct paths
+    stream_done = threading.Event()
+    chunks = []
+
+    def run_stream():
+        try:
+            for c in eng.generate_stream("A long direct stream.", None,
+                                         seed=21, sc=sc_long, block_size=4):
+                chunks.append(c)
+        finally:
+            stream_done.set()
+
+    t = threading.Thread(target=run_stream)
+    t.start()
+    try:
+        deadline = time.monotonic() + 120
+        while not chunks and time.monotonic() < deadline:
+            time.sleep(0.01)
+        assert chunks, "stream produced no audio"
+        audio, _, _ = eng.generate("Quick one shot.", None, seed=22, sc=SC)
+        assert audio.shape[-1] > 0
+        assert not stream_done.is_set(), \
+            "stream already finished — interleave not demonstrated " \
+            "(lengthen the stream)"
+    finally:
+        t.join(timeout=300)
+    ref = np.concatenate(list(sample_pipeline_stream(
+        tts, "A long direct stream.", None, 21, sc=sc_long, block_size=4,
+        normalize_text=True)), axis=-1)
+    np.testing.assert_allclose(np.concatenate(chunks, axis=-1), ref,
+                               atol=2e-5, rtol=0)
+
+
 # -- burst-proof elastic growth ---------------------------------------------
 
 def test_burst_admitted_at_one_boundary(tiny_tts, monkeypatch):  # noqa: F811
