@@ -71,10 +71,19 @@ def main():
     int8_enc = "--int8-encoders" in sys.argv  # + encoder/KV-proj GEMMs
     int8 = "--int8" in sys.argv or int8_enc  # opt-in W8A8 trunk (models/quant.py)
     trace = "--trace" in sys.argv
+    # --solver midpoint [--steps N]: opt-in RK2 integrator at N steps (2N
+    # velocity evals) — the NFE lever orthogonal to int8/first-steps
+    # (sampling/euler_cfg.py; quality via scripts/quant_snr.py --solver)
+    solver = "euler"
+    if "--solver" in sys.argv:
+        solver = sys.argv[sys.argv.index("--solver") + 1]
+    steps = STEPS
+    if "--steps" in sys.argv:
+        steps = int(sys.argv[sys.argv.index("--steps") + 1])
     dit_cfg = DiTConfig(has_latent_modules=blockwise or trace
                         or "--continuous" in sys.argv)
     ae_cfg = AEConfig()
-    sc = SamplerConfig(num_steps=STEPS, cfg_scale_text=3.0, cfg_scale_speaker=8.0,
+    sc = SamplerConfig(num_steps=steps, cfg_scale_text=3.0, cfg_scale_speaker=8.0,
                        cfg_min_t=0.5, cfg_max_t=1.0, truncation_factor=0.8,
                        sequence_length=SEQ,
                        # config-3 gating values mirror the reference UI's
@@ -84,7 +93,8 @@ def main():
                        speaker_kv_max_layers=24 if force_speaker else None,
                        uncond_cache_interval=uncond_cache,
                        joint_uncond=joint_uncond,
-                       first_block_steps=first_steps)
+                       first_block_steps=first_steps,
+                       solver=solver)
 
     key = jax.random.PRNGKey(0)
     t0 = time.time()
@@ -685,11 +695,11 @@ def main():
     audio_seconds = batch * SEQ * ae_cfg.frame_length / ae_cfg.sample_rate
     value = audio_seconds / wall
     if blockwise:
-        print(f"# sample {min(sample_t)*1e3:.0f}ms ({min(sample_t)*1e3/STEPS:.1f}ms/step), "
+        print(f"# sample {min(sample_t)*1e3:.0f}ms ({min(sample_t)*1e3/steps:.1f}ms/step), "
               f"vocoder {min(voc_t)*1e3:.0f}ms, audio {audio.shape}", file=sys.stderr)
     else:
         print(f"# sample+vocoder fused {wall*1e3:.0f}ms "
-              f"({wall*1e3/STEPS:.1f}ms/step incl. decode), audio {audio.shape}",
+              f"({wall*1e3/steps:.1f}ms/step incl. decode), audio {audio.shape}",
               file=sys.stderr)
     mode = ""
     if force_speaker:
@@ -700,6 +710,8 @@ def main():
         mode += ", joint-uncond"
     if first_steps:
         mode += f", first-block {first_steps} steps"
+    if solver != "euler" or steps != STEPS:
+        mode += f", solver {solver}-{steps}"
     if int8:
         mode += ", int8 W8A8 trunk" + ("+encoders" if int8_enc else "")
     if blockwise:

@@ -114,6 +114,14 @@ class SamplerConfig:
     # None (default) = exact reference semantics. The continuous scheduler
     # ignores it (uniform group blocks have no per-row first-block step).
     first_block_steps: Optional[int] = None
+    # ODE solver for the flow integration. "euler" (default) = exact
+    # reference semantics (inference.py:558, first-order). "midpoint" =
+    # opt-in explicit midpoint (RK2): 2 velocity evaluations per step with
+    # O(dt^2) local accuracy, so ~half the steps reach the same integration
+    # error — an NFE-reduction lever orthogonal to uncond caching (which it
+    # does not compose with; see euler_cfg_scan). Non-exact vs the
+    # reference's 40-step Euler trajectory by construction.
+    solver: str = "euler"
 
     @staticmethod
     def from_preset(d: dict, **overrides) -> "SamplerConfig":
@@ -131,6 +139,9 @@ class SamplerConfig:
         kw = {}
         for f in dataclasses.fields(SamplerConfig):
             if f.name in d:
+                if f.name == "solver":  # string-valued field
+                    kw[f.name] = str(d[f.name])
+                    continue
                 is_int = f.name in ("num_steps", "speaker_kv_max_layers",
                                     "sequence_length", "uncond_cache_interval",
                                     "first_block_steps")

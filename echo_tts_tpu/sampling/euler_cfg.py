@@ -117,6 +117,48 @@ def euler_cfg_scan(
                                             sc.rescale_sigma)
         return x_t + v_pred * (t_next - t)
 
+    if sc.solver == "midpoint":
+        # Opt-in explicit midpoint (RK2): two velocity evaluations per step,
+        # O(dt^2) local accuracy vs Euler's O(dt) — ~half the steps reach
+        # the same integration error, so NFE drops at matched quality
+        # (tests/test_solver.py pins the equal-NFE win; BASELINE.md the
+        # measured SNR/throughput). Each evaluation applies the CFG window,
+        # speaker-KV scale, and temporal rescale at ITS OWN flow time, so
+        # the integrated field is identical to Euler's — only the
+        # integrator changes. Uncond caching is a cross-STEP staleness
+        # scheme; its interaction with intra-step midpoint states is
+        # untested math, so the combination is rejected loudly.
+        if interval > 1:
+            raise ValueError(
+                "uncond_cache_interval > 1 is not supported with "
+                "solver='midpoint' — pick one NFE lever")
+
+        def v_at(x, t):
+            s_vec = _speaker_scale_vec(sc, cfg, t, t0)
+            t_b = jnp.full((b,), t, dtype=jnp.float32).astype(model_dtype)
+            has_cfg = jnp.logical_and(t >= sc.cfg_min_t, t <= sc.cfg_max_t)
+            v = jax.lax.cond(
+                has_cfg, lambda x_: guide(*fwd_cfg(x_, t_b, s_vec)),
+                lambda x_: fwd_single(x_, t_b, s_vec), x)
+            if sc.rescale_k is not None and sc.rescale_sigma is not None:
+                v = temporal_score_rescale(v, x, t, sc.rescale_k,
+                                           sc.rescale_sigma)
+            return v
+
+        def step(x_t, i):
+            t, t_next = ts[i], ts[i + 1]
+            dt = t_next - t
+            v1 = v_at(x_t, t)
+            x_mid = x_t + 0.5 * dt * v1
+            v2 = v_at(x_mid, t + 0.5 * dt)
+            return x_t + dt * v2, None
+
+        x_out, _ = jax.lax.scan(step, x_init, jnp.arange(sc.num_steps))
+        return x_out
+
+    if sc.solver != "euler":
+        raise ValueError(f"unknown solver {sc.solver!r}")
+
     if interval <= 1:
         # exact reference semantics (default)
         def step(x_t, i):

@@ -61,9 +61,21 @@ def main():
         first_steps = int(sys.argv[sys.argv.index("--first-steps") + 1])
     if first_steps and not blockwise:
         sys.exit("--first-steps is a streaming knob; add --blockwise")
-    if bf16_test and uncond_k <= 1 and not first_steps:
-        sys.exit("--bf16 without --uncond-cache/--first-steps compares a run "
-                 "against itself (SNR ~ inf); add an approximation flag")
+    # --solver midpoint [--steps N]: test run uses the opt-in RK2 integrator
+    # at N steps (2N velocity evals) against the exact euler-40 reference —
+    # the NFE-reduction lever's quality measurement (sampling/euler_cfg.py)
+    solver = "euler"
+    if "--solver" in sys.argv:
+        solver = sys.argv[sys.argv.index("--solver") + 1]
+    test_steps = None
+    if "--steps" in sys.argv:
+        test_steps = int(sys.argv[sys.argv.index("--steps") + 1])
+    approximated = (uncond_k > 1 or first_steps or solver != "euler"
+                    or test_steps is not None)
+    if bf16_test and not approximated:
+        sys.exit("--bf16 without an approximation flag (--uncond-cache/"
+                 "--first-steps/--solver/--steps) compares a run against "
+                 "itself (SNR ~ inf)")
     cfg = DiTConfig(has_latent_modules=blockwise)
     ae_cfg = AEConfig()
     sc = SamplerConfig(num_steps=40, cfg_scale_text=3.0, cfg_scale_speaker=8.0,
@@ -115,7 +127,9 @@ def main():
     t0 = time.time()
     import dataclasses
     sc_test = dataclasses.replace(sc, uncond_cache_interval=uncond_k,
-                                  first_block_steps=first_steps)
+                                  first_block_steps=first_steps,
+                                  solver=solver,
+                                  num_steps=test_steps or sc.num_steps)
     lat_ref, audio_ref = run(params, sc)
     lat_q, audio_q = run(params if bf16_test else qparams, sc_test)
     print(f"# two full samples + decode in {time.time()-t0:.1f}s", file=sys.stderr)
@@ -132,6 +146,8 @@ def main():
                    + (f"+uncond-cache k={uncond_k}" if uncond_k > 1 else "")
                    + (f"+first-block {first_steps} steps" if first_steps
                       else "")
+                   + (f"+{solver}-{test_steps or sc.num_steps}"
+                      if solver != "euler" or test_steps else "")
                    + " vs bf16 exact, "
                    + ("blockwise 64+192x3 streaming" if blockwise
                       else "exact 40-step sampler") + ", same noise"),
