@@ -70,8 +70,15 @@ def main():
     test_steps = None
     if "--steps" in sys.argv:
         test_steps = int(sys.argv[sys.argv.index("--steps") + 1])
+    # --ref-steps N: reference run uses euler-N instead of euler-40 — e.g.
+    # midpoint-12 vs euler-80 measures the midpoint trajectory's distance to
+    # a FINER integration (whether it is inside euler-40's own
+    # discretization-error envelope), not its distance to euler-40
+    ref_steps = None
+    if "--ref-steps" in sys.argv:
+        ref_steps = int(sys.argv[sys.argv.index("--ref-steps") + 1])
     approximated = (uncond_k > 1 or first_steps or solver != "euler"
-                    or test_steps is not None)
+                    or test_steps is not None or ref_steps is not None)
     if bf16_test and not approximated:
         sys.exit("--bf16 without an approximation flag (--uncond-cache/"
                  "--first-steps/--solver/--steps) compares a run against "
@@ -130,7 +137,9 @@ def main():
                                   first_block_steps=first_steps,
                                   solver=solver,
                                   num_steps=test_steps or sc.num_steps)
-    lat_ref, audio_ref = run(params, sc)
+    sc_ref = (dataclasses.replace(sc, num_steps=ref_steps) if ref_steps
+              else sc)
+    lat_ref, audio_ref = run(params, sc_ref)
     lat_q, audio_q = run(params if bf16_test else qparams, sc_test)
     print(f"# two full samples + decode in {time.time()-t0:.1f}s", file=sys.stderr)
 
@@ -148,7 +157,8 @@ def main():
                       else "")
                    + (f"+{solver}-{test_steps or sc.num_steps}"
                       if solver != "euler" or test_steps else "")
-                   + " vs bf16 exact, "
+                   + (f" vs bf16 euler-{ref_steps}, " if ref_steps
+                      else " vs bf16 exact, ")
                    + ("blockwise 64+192x3 streaming" if blockwise
                       else "exact 40-step sampler") + ", same noise"),
         "latent_rel_l2": round(lat_rel, 4),
