@@ -266,6 +266,8 @@ def main():
             levers.append(f"cache k={uncond_cache}")
         if first_steps:
             levers.append(f"first {first_steps}")
+        if solver != "euler" or steps != STEPS:
+            levers.append(f"{solver}-{steps}")
         print(json.dumps({
             "metric": f"arrival-trace serving, {mode_s}, max_batch="
                       f"{max_batch}"
