@@ -458,6 +458,33 @@ def test_engine_continuous_int8_matches_plain_int8_stream(tiny_tts):  # noqa: F8
     np.testing.assert_allclose(got, ref, atol=2e-5, rtol=0)
 
 
+def test_engine_continuous_midpoint_matches_plain_stream(tiny_tts):  # noqa: F811
+    """The continuous scheduler with the opt-in midpoint solver equals the
+    plain solo streaming pipeline under the same SamplerConfig — the group
+    step and fast-join paths are solver-agnostic through sc, which is what
+    the measured continuous midpoint-stack serving cell (BASELINE.md trace
+    table) relies on."""
+    import dataclasses
+
+    from echo_tts_tpu.pipeline.pipeline import sample_pipeline_stream
+    from echo_tts_tpu.serve.engine import Engine
+
+    _, _, tts = tiny_tts
+    sc_mid = dataclasses.replace(SC, solver="midpoint")
+    eng = Engine(dataclasses.replace(tts), max_batch=2, continuous=True)
+    try:
+        got = np.concatenate(list(eng.generate_stream(
+            "Continuous midpoint.", None, seed=7, sc=sc_mid, block_size=8)),
+            axis=-1)
+    finally:
+        eng.close()
+    ref = np.concatenate(list(sample_pipeline_stream(
+        tts, "Continuous midpoint.", None, 7, sc=sc_mid, block_size=8,
+        normalize_text=True)), axis=-1)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=0)
+
+
 def test_engine_warmup_continuous_covers_size_ladder(tiny_tts, monkeypatch):  # noqa: F811
     """A continuous engine's warmup(include_streaming=True) pre-compiles the
     group executables at EVERY elastic group size (1, 2, ..., max) — a lone
