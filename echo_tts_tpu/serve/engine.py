@@ -179,7 +179,10 @@ class Engine:
         self.int8_encoders = int8_encoders
         # optional npz cache of the quantized BASE params (VERDICT r4
         # item 8): restart skips the quantization jit (compile + execute);
-        # LoRA merges always re-quantize (merged weights differ)
+        # LoRA merges always re-quantize (merged weights differ). Measured
+        # a net startup LOSS where compiles persist (BASELINE.md negative
+        # result j: load+transfer 78 s vs 1.9 s warm quantize) — leave off
+        # unless compiles are slow and uncached
         self._int8_cache_path = int8_cache_path
         self._mesh = mesh
         # own copy of the container: quantization / LoRA swaps must never

@@ -53,7 +53,10 @@ def main():
     ap.add_argument("--int8-cache", default=None, metavar="PATH",
                     help="npz cache of the quantized base params: first "
                          "start quantizes and saves, restarts load and skip "
-                         "the quantization jit")
+                         "the quantization jit. Only worth it when compiles "
+                         "are slow AND uncached: measured a net startup LOSS "
+                         "under the axon relay (load 78 s vs quantize 1.9 s "
+                         "warm — BASELINE.md negative result j)")
     ap.add_argument("--max-batch", type=int, default=1,
                     help=">1 enables continuous micro-batching: concurrent "
                          "compatible requests run as one batched device call")
